@@ -1,0 +1,66 @@
+"""Benchmark: full-pipeline odometry throughput (scans/sec) on one chip.
+
+Runs the headline config (IMLS matching + RANSAC/DRPM solve, pca normals,
+random sampling — the BASELINE.json config list) on synthetic HDL-64 scans
+(~44k valid points/scan at 900 azimuth steps; no KITTI data ships in this
+image) and reports scans/sec of the complete front-end + back-end pipeline.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); its build is
+Debug -O0 and its own README says it runs "slower than expected". The agreed
+proxy baseline is the 10 Hz sensor real-time rate (scanPeriod=0.1,
+scan_registration.cpp:55): vs_baseline = scans_per_sec / 10.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    from plo_tpu import config as cfgmod
+    from plo_tpu.io import synthetic
+    from plo_tpu.models import Odometry
+
+    cfg = cfgmod.Config(
+        scan_registration=cfgmod.ScanRegistrationConfig(
+            compute_normal_method=cfgmod.ComputeNormalConfig(format="pointcloud", method="pca"),
+            presample_method=cfgmod.PresampleConfig(method="geometric_features"),
+            sample_method=cfgmod.SampleConfig(
+                method="random", random=cfgmod.RandomSampleConfig(max_points=2000)),
+        ),
+        laser_odometry=cfgmod.LaserOdometryConfig(
+            matching_method=cfgmod.MatchingConfig(method="IMLS"),
+            solve_method=cfgmod.SolveConfig(
+                method="RANSAC", iterations=30,
+                ransac=cfgmod.RANSACConfig(max_iterations=1000, distance_threshold=0.2,
+                                           final_solve_method="DRPM")),
+        ),
+        sensor=cfgmod.SensorConfig(n_scans=64),
+    )
+
+    world = synthetic.SyntheticWorld.corridor(seed=7, n_boxes=140, extent=120.0)
+    n_warm, n_bench = 2, 8
+    scans, _ = synthetic.synthetic_sequence(
+        n_warm + n_bench, n_scans=64, azimuth_steps=900, speed=0.5, yaw_rate=0.005,
+        seed=11, world=world)
+
+    odo = Odometry(cfg, capacity=65536, seed=0)
+    for s in scans[:n_warm]:
+        odo.process_scan(s)
+
+    t0 = time.perf_counter()
+    for s in scans[n_warm:]:
+        odo.process_scan(s)
+    dt = time.perf_counter() - t0
+
+    scans_per_sec = n_bench / dt
+    print(json.dumps({
+        "metric": "scans_per_sec_1chip",
+        "value": round(scans_per_sec, 3),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / 10.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Command-line odometry runner — replaces the reference's roslaunch entry
+(planetary_slam_VLP_32.launch): loads a reference-format config.json, streams
+scans from KITTI or the synthetic simulator, runs the full pipeline, and
+writes the TUM trajectory + per-frame metrics.
+
+Usage:
+    python -m plo_tpu.cli --dataset synthetic --frames 20 --output out/
+    python -m plo_tpu.cli --config config.json --dataset kitti \
+        --kitti-root /data/kitti --seq 00 --output out/
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="TPU-native LiDAR odometry")
+    p.add_argument("--config", default=None, help="reference-format config.json")
+    p.add_argument("--dataset", choices=["kitti", "synthetic"], default="synthetic")
+    p.add_argument("--kitti-root", default=None)
+    p.add_argument("--seq", default="00")
+    p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--start", type=int, default=0)
+    p.add_argument("--output", default=None, help="output dir (TUM poses, metrics JSONL)")
+    p.add_argument("--capacity", type=int, default=131072)
+    p.add_argument("--scan-lines", type=int, default=64, help="N_SCANS (16/32/64)")
+    p.add_argument("--min-range", type=float, default=2.0)
+    p.add_argument("--max-range", type=float, default=150.0)
+    p.add_argument("--azimuth-resolution", type=float, default=0.2)
+    p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval-gt", action="store_true",
+                   help="evaluate ATE/RPE when ground truth is available")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from plo_tpu import config as cfgmod
+    from plo_tpu.models import Odometry
+    from plo_tpu.utils import MetricsLog, TicToc, evaluate
+
+    sensor = cfgmod.SensorConfig(
+        n_scans=args.scan_lines, azimuth_resolution=args.azimuth_resolution,
+        minimum_range=args.min_range, maximum_range=args.max_range)
+    if args.config:
+        cfg = cfgmod.load(args.config, sensor=sensor)
+    else:
+        cfg = cfgmod.Config(sensor=sensor)
+
+    gt = None
+    if args.dataset == "kitti":
+        from plo_tpu.io import kitti
+        assert args.kitti_root, "--kitti-root required for the kitti dataset"
+        scans = (s for _, s in kitti.kitti_scan_iterator(
+            args.kitti_root, args.seq, start=args.start, count=args.frames))
+        pose_file = os.path.join(args.kitti_root, "poses", f"{args.seq}.txt")
+        if os.path.exists(pose_file):
+            gt = kitti.read_poses(pose_file)
+    else:
+        from plo_tpu.io import synthetic
+        n = args.frames or 20
+        scan_list, gt = synthetic.synthetic_sequence(
+            n, n_scans=args.scan_lines, azimuth_steps=1800, speed=1.0,
+            yaw_rate=0.005, seed=args.seed)
+        scans = iter(scan_list)
+
+    outdir = args.output
+    if outdir:
+        os.makedirs(outdir, exist_ok=True)
+    metrics = MetricsLog(os.path.join(outdir, "metrics.jsonl") if outdir else None)
+    times_file = os.path.join(outdir, "odometry_times.txt") if outdir else None
+
+    odo = Odometry(cfg, capacity=args.capacity, seed=args.seed)
+    tic = TicToc()
+    for i, scan in enumerate(scans):
+        tic.tic()
+        frame = odo.process_scan(scan)
+        ms = tic.toc()
+        if times_file:
+            with open(times_file, "a") as f:
+                f.write(f"Frame {i}: {ms:.3f} ms\n")
+        metrics.log({"frame": i, "ms": ms, "iterations": frame.iterations,
+                     "correspondences": frame.n_correspondences, **frame.stats})
+        print(f"frame {i}: {ms:7.1f} ms  iters={frame.iterations:2d} "
+              f"corr={frame.n_correspondences}")
+
+    import numpy as np
+    poses = odo.poses()
+    if outdir:
+        evaluate.save_tum(poses, [f.index * cfg.sensor.scan_period for f in odo.trajectory],
+                          os.path.join(outdir, "trajectory_tum.txt"))
+
+    if args.eval_gt and gt is not None:
+        n = len(poses)
+        gtr = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt[:n])
+        ate = evaluate.ate_rmse(poses, gtr, align=False)
+        terr, rerr = evaluate.rpe(poses, gtr)
+        print(json.dumps({"ate_m": ate, "rpe_trans_m": terr, "rpe_rot_rad": rerr}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,201 @@
+"""Back-end driver — frame-to-model ICP odometry.
+
+TPU re-architecture of the reference's `laser_odometry` node
+(laser_odometry.cpp:416-683): per frame, the iterative matching loop
+(transform source -> match -> solve -> compose, max `iterations` with the dual
+distance/angle convergence test, :524-647) runs as one jitted
+`lax.while_loop`; pose integration accumulates in float64 on host
+(nowPose = prevLaserPose * rPose, :652-655); the target model is the
+concatenation of the last `max_queue_size` filtered clouds
+(accumulateTargetCloud, :116-136).
+
+The ROS pub/sub process boundary is gone: front-end and back-end run in one
+process, per-frame (the reference's pipeline parallelism across frames becomes
+optional async prefetch at the host level).
+"""
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from functools import partial
+from typing import Deque, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plo_tpu import geometry as geo
+from plo_tpu.cloud import PointCloud
+from plo_tpu.config import Config
+from plo_tpu.models.pipeline import FrontEnd, FrontEndOutput
+from plo_tpu.ops import matching
+from plo_tpu.solvers import (solve_drpm, solve_gauss_newton, solve_gnc_tls,
+                             solve_icp_point_to_point, solve_ls_trimmed,
+                             solve_ransac)
+
+
+@dataclasses.dataclass
+class OdometryFrame:
+    """Host-side record of one processed frame."""
+    index: int
+    pose: np.ndarray          # [4, 4] float64 world pose
+    rel_pose: np.ndarray      # [4, 4] float64 frame-to-frame delta
+    iterations: int
+    n_correspondences: int
+    stats: Dict[str, float]
+
+
+def _make_icp_step(cfg: Config):
+    """Build the jitted per-frame ICP loop for a config."""
+    lo = cfg.laser_odometry
+    mm = lo.matching_method
+    sv = lo.solve_method
+    matching_method = mm.method
+    solve_method = sv.method
+    transform_normal = lo.transform_normal
+    correspond_number = mm.correspond_number
+    iterations = sv.iterations
+
+    imls_cfg = mm.imls
+    picp_cfg = mm.plane_icp
+    use_precomputed_normals = (matching_method == "IMLS"
+                               and not imls_cfg.get_normals.enabled
+                               and not imls_cfg.use_tensor_voting.enabled)
+
+    def match(src: PointCloud, tgt: PointCloud, tgt_normal, tgt_normal_ok):
+        if matching_method == "IMLS":
+            return matching.imls_project(src, tgt, imls_cfg, tgt_normal, tgt_normal_ok)
+        elif matching_method == "plane_ICP":
+            return matching.plane_icp_project(src, tgt, picp_cfg)
+        raise ValueError(f"invalid matching method {matching_method!r}")
+
+    def solve(src_xyz, y, n, valid, key):
+        if solve_method == "Ceres":
+            return solve_gauss_newton(src_xyz, y, n, valid, sv.ceres.max_iterations)
+        elif solve_method == "LS":
+            return solve_ls_trimmed(src_xyz, y, n, valid, sv.ls.threshold)
+        elif solve_method == "RANSAC":
+            r = sv.ransac
+            return solve_ransac(src_xyz, y, n, valid, key, r.max_iterations,
+                                r.distance_threshold, r.min_inliers_percentage,
+                                r.huber_threshold, r.final_solve_method,
+                                r.ls_threshold, r.drpm_threshold,
+                                r.drpm_stdev_points, r.drpm_stdev_normals)
+        elif solve_method == "ICP":
+            return solve_icp_point_to_point(src_xyz, y, valid,
+                                            min(sv.icp.max_iterations, 30))
+        elif solve_method == "Teaser":
+            t = sv.teaser
+            return solve_gnc_tls(src_xyz, y, valid, t.noise_bound,
+                                 t.rotation_gnc_factor, min(t.rotation_max_iterations, 64))
+        raise ValueError(f"invalid solve method {solve_method!r}")
+
+    @jax.jit
+    def icp_step(flat: PointCloud, target: PointCloud, key):
+        if use_precomputed_normals:
+            tgt_normal, tgt_normal_ok = matching.precompute_target_normals(
+                target.xyz, target.valid,
+                imls_cfg.get_normals.r_normal,
+                imls_cfg.get_normals.search_number_normal)
+        else:
+            tgt_normal, tgt_normal_ok = target.normal, target.valid
+
+        def cond(state):
+            i, rpose, done, _, _ = state
+            return (i < iterations) & ~done
+
+        def body(state):
+            i, rpose, _, _, _ = state
+            src_xyz = geo.transform_points(rpose, flat.xyz)
+            if transform_normal:
+                src_normal = geo.rotate_vectors(rpose, flat.normal)
+            else:
+                src_normal = flat.normal
+            src = dataclasses.replace(flat, xyz=src_xyz, normal=src_normal)
+
+            res = match(src, target, tgt_normal, tgt_normal_ok)
+            n_corr = jnp.sum(res.valid.astype(jnp.int32))
+            enough = n_corr >= correspond_number
+
+            iter_key = jax.random.fold_in(key, i)
+            delta, ok = solve(src_xyz, res.y, res.normal, res.valid, iter_key)
+            delta = jnp.where(enough & ok, delta, jnp.eye(4, dtype=delta.dtype))
+            new_rpose = delta @ rpose
+
+            ddist = jnp.linalg.norm(delta[:3, 3])
+            dangle = geo.rotation_angle(delta[:3, :3])
+            converged = (ddist < sv.delta_dist_threshold) & (dangle < sv.delta_angle_threshold)
+            done = ~(enough & ok) | converged  # break conditions (:571-576,611-616,643-646)
+            return (i + 1, new_rpose, done, n_corr, converged)
+
+        init = (jnp.asarray(0, jnp.int32), jnp.eye(4, dtype=jnp.float32),
+                jnp.asarray(False), jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        i, rpose, done, n_corr, converged = jax.lax.while_loop(cond, body, init)
+        return rpose, i, n_corr, converged
+
+    return icp_step
+
+
+class Odometry:
+    """Full odometry engine: front-end + back-end + host-side pose chain."""
+
+    def __init__(self, cfg: Config, capacity: int = 131072, seed: int = 0):
+        self.cfg = cfg
+        self.frontend = FrontEnd(cfg, capacity=capacity)
+        self.icp_step = _make_icp_step(cfg)
+        self.key = jax.random.PRNGKey(seed)
+        self.prev_pose = np.eye(4)              # prevLaserPose (:48)
+        self.frame_count = 0
+        self.cloud_queue: Deque[PointCloud] = deque()
+        self.last_filtered: Optional[PointCloud] = None
+        self.trajectory: List[OdometryFrame] = []
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _accumulated_target(self) -> PointCloud:
+        """accumulateTargetCloud (laser_odometry.cpp:116-136): concat of the
+        last max_queue_size filtered clouds."""
+        clouds = list(self.cloud_queue)
+        acc = clouds[0]
+        for c in clouds[1:]:
+            acc = acc.concat(c)
+        return acc
+
+    def process_scan(self, raw_pts: np.ndarray) -> OdometryFrame:
+        fe: FrontEndOutput = self.frontend.process(
+            raw_pts, self._next_key(), self.last_filtered,
+            first_frame=(self.frame_count == 0))
+
+        rel = np.eye(4)
+        iters, n_corr = 0, 0
+        if self.frame_count > 0:
+            target = self._accumulated_target()
+            rpose, i, nc, converged = self.icp_step(fe.flat, target, self._next_key())
+            rel = np.asarray(rpose, np.float64)
+            iters, n_corr = int(i), int(nc)
+
+        pose = self.prev_pose @ rel  # nowPose = prevLaserPose * rPose (:652)
+        self.prev_pose = pose
+
+        # Model update (max_queue_size window of filtered clouds).
+        self.cloud_queue.append(fe.filtered)
+        while len(self.cloud_queue) > self.cfg.laser_odometry.max_queue_size:
+            self.cloud_queue.popleft()
+        self.last_filtered = fe.filtered
+
+        frame = OdometryFrame(
+            index=self.frame_count,
+            pose=pose,
+            rel_pose=rel,
+            iterations=iters,
+            n_correspondences=n_corr,
+            stats={k: float(v) for k, v in fe.stats.items()},
+        )
+        self.trajectory.append(frame)
+        self.frame_count += 1
+        return frame
+
+    def poses(self) -> np.ndarray:
+        return np.stack([f.pose for f in self.trajectory])

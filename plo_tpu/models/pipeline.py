@@ -1,0 +1,209 @@
+"""Front-end driver — the five-stage scan-registration pipeline.
+
+TPU re-architecture of the reference's `laserCloudHandler`
+(scan_registration.cpp:809-1560): stage dispatch happens at trace time (one
+fused XLA program per configured method combination) and every stage operates
+on fixed-capacity masked arrays.
+
+Stages:
+  1. preprocess   (ops/preprocess.py)   — gate, rings, relTime, range image
+  2. normals      (ops/normals.py)      — pca | cross_product | FALS | SRI
+  3a. presample   (ops/features.py, ops/tensor_voting.py)
+  3b. sample      (ops/sampling.py)     — three_axis | random | normal | major_axis
+Outputs the model cloud ("/laser_cloud_filtered") and the sampled flat cloud
+("/laser_cloud_flat") as masked PointClouds.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plo_tpu.cloud import PointCloud
+from plo_tpu.config import Config
+from plo_tpu.ops import features, normals as normals_ops, preprocess as pre_ops
+from plo_tpu.ops import sampling
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FrontEndOutput:
+    filtered: PointCloud   # model cloud (pcl_cloud, scan_registration.cpp:1460,1504)
+    flat: PointCloud       # sampled cloud (pcl_surface_cloud, :1499-1501)
+    stats: Dict[str, jnp.ndarray]
+
+
+_FOV = {16: (15.0, -15.0), 32: (15.0, -25.0), 64: (2.0, -24.33)}  # scan_registration.cpp:921-930
+
+
+class FrontEnd:
+    """Builds and holds the jitted per-config pipeline."""
+
+    def __init__(self, cfg: Config, capacity: int = 131072):
+        self.cfg = cfg
+        self.capacity = capacity
+        sr = cfg.scan_registration
+        self.format = sr.compute_normal_method.format
+        self.normal_method = sr.compute_normal_method.method
+        self.presample_method = sr.presample_method.method
+        self.sample_method = sr.sample_method.method
+
+        self.height = cfg.sensor.n_scans
+        self.width = cfg.grid_width
+        fov_up, fov_down = _FOV[cfg.sensor.n_scans]
+        self._ri_engine: Optional[normals_ops.RangeImageNormals] = None
+        if self.format == "range_image":
+            ws = (sr.compute_normal_method.fals.window_size
+                  if self.normal_method == "FALS"
+                  else sr.compute_normal_method.sri.window_size)
+            self._ri_engine = normals_ops.RangeImageNormals(
+                self.height, self.width, fov_up, fov_down, ws)
+
+        # Static sample-output capacity per method (SURVEY.md §7.1).
+        sm = sr.sample_method
+        if self.sample_method == "three_axis":
+            self.sample_size = 9 * sm.three_axis.points_per_list
+        elif self.sample_method == "random":
+            self.sample_size = sm.random.max_points
+        elif self.sample_method == "normal":
+            self.sample_size = (sm.normal.azimuth_bins * sm.normal.elevation_bins
+                                * sm.normal.max_points_per_bin)
+        elif self.sample_method == "major_axis":
+            # frame 1 falls back to `normal` binning (scan_registration.cpp:783)
+            self.sample_size = max(
+                sm.major_axis.max_total_points,
+                sm.normal.azimuth_bins * sm.normal.elevation_bins * sm.normal.max_points_per_bin,
+            )
+        else:
+            raise ValueError(f"invalid sample method {self.sample_method!r}")
+
+        self._process = jax.jit(self._build(), static_argnames=("first_frame",))
+
+    # ------------------------------------------------------------------
+    def _build(self):
+        cfg = self.cfg
+        sr = cfg.scan_registration
+        cn = sr.compute_normal_method
+        ri = self._ri_engine
+
+        def run(pts, n_valid, key, last_xyz, last_normal_dummy, last_valid, first_frame: bool):
+            rc = pre_ops.preprocess(pts, n_valid, cfg.sensor)
+
+            # Stage-1 curvature (only computed for the curvature presample,
+            # scan_registration.cpp:1071-1113).
+            if self.presample_method == "curvature":
+                curv = features.ring_curvature(rc, sr.presample_method.curvature.window_size)
+            else:
+                curv = jnp.zeros((self.capacity,), jnp.float32)
+
+            # Stage 2 — normals.
+            eigvecs = None
+            if self.format == "pointcloud":
+                if self.normal_method == "pca":
+                    nres = normals_ops.compute_normals_pca(rc, cn.pca, sr.use_all_points)
+                elif self.normal_method == "cross_product":
+                    nres = normals_ops.compute_normals_cross_product(rc, cn.cross_product)
+                else:
+                    raise ValueError(f"invalid normal method {self.normal_method!r}")
+                cloud = dataclasses.replace(nres.cloud, curvature=jnp.where(nres.cloud.valid, curv, 0.0))
+                plane_fail = nres.plane_fail
+                eigvecs = nres.eigvecs
+            elif self.format == "range_image":
+                rng_img, xyzg, relg, occ = pre_ops.rasterize_range_image(rc, self.height, self.width)
+                if self.normal_method == "FALS":
+                    nrm, ok = ri.fals(rng_img)
+                elif self.normal_method == "SRI":
+                    nrm, ok = ri.sri(rng_img)
+                else:
+                    raise ValueError(f"invalid normal method {self.normal_method!r}")
+                hw = self.height * self.width
+                ring = jnp.repeat(jnp.arange(self.height, dtype=jnp.float32), self.width)
+                rel_flat = relg.reshape(hw)
+                cloud = PointCloud(
+                    xyz=xyzg.reshape(hw, 3),
+                    normal=nrm.reshape(hw, 3),
+                    intensity=ring + 0.1 * rel_flat,
+                    curvature=jnp.zeros((hw,), jnp.float32),
+                    eigvals=jnp.zeros((hw, 3), jnp.float32),
+                    valid=ok.reshape(hw),
+                )
+                plane_fail = jnp.zeros((hw,), bool)
+            else:
+                raise ValueError(f"invalid data format {self.format!r}")
+
+            # Stage 3a — presample candidates.
+            if self.presample_method == "geometric_features":
+                cand = features.presample_geometric(
+                    cloud.eigvals, cloud.valid,
+                    sr.presample_method.geometric_features.planarity_threshold)
+            elif self.presample_method == "curvature":
+                cand = features.presample_curvature(
+                    cloud.curvature, cloud.valid,
+                    sr.presample_method.curvature.curvature_threshold)
+            elif self.presample_method == "tensor_voting":
+                from plo_tpu.ops import tensor_voting as tv_ops
+                tv = tv_ops.saliency_presample(
+                    cloud, eigvecs, sr.presample_method.tensor_voting)
+                cloud = tv.cloud
+                cand = tv.candidates
+            else:
+                raise ValueError(f"invalid presample method {self.presample_method!r}")
+
+            # use_all_points keeps plane-fail points in the model cloud but
+            # bars them from sampling (scan_registration.cpp:1481-1489).
+            if sr.use_all_points:
+                cand = cand & ~plane_fail
+
+            # Stage 3b — sampling.
+            sm = sr.sample_method
+            if self.sample_method == "three_axis":
+                idx, ivalid = sampling.three_axis_sampling(
+                    cloud.xyz, cloud.normal, cloud.eigvals, cand,
+                    sm.three_axis.points_per_list)
+            elif self.sample_method == "random":
+                idx, ivalid = sampling.random_sampling(cand, key, sm.random.max_points)
+            elif self.sample_method == "normal" or (self.sample_method == "major_axis" and first_frame):
+                n = sm.normal
+                idx, ivalid = sampling.normal_sampling(
+                    cloud.normal, cand, key, n.azimuth_bins, n.elevation_bins,
+                    n.min_points_per_bin, n.max_points_per_bin, self.sample_size)
+            elif self.sample_method == "major_axis":
+                ma = sm.major_axis
+                idx, ivalid = sampling.major_axis_sampling(
+                    cloud.xyz, cloud.normal, cand, last_xyz, last_valid, key,
+                    ma.r, ma.r_proj, ma.max_total_points, ma.azimuth_bins,
+                    ma.elevation_bins, ma.min_points_per_bin,
+                    ma.max_points_per_bin, self.sample_size)
+            else:
+                raise ValueError(f"invalid sample method {self.sample_method!r}")
+
+            flat = cloud.gather(idx, ivalid)
+            stats = {
+                "n_preprocessed": rc.valid.sum(),
+                "n_filtered": cloud.valid.sum(),
+                "n_candidates": cand.sum(),
+                "n_sampled": flat.valid.sum(),
+                "n_plane_fail": plane_fail.sum(),
+            }
+            return FrontEndOutput(filtered=cloud, flat=flat, stats=stats)
+
+        return run
+
+    # ------------------------------------------------------------------
+    def process(self, raw_pts: np.ndarray, key, last_filtered: Optional[PointCloud],
+                first_frame: bool) -> FrontEndOutput:
+        """Run the pipeline on one raw scan [N, >=3] (numpy, variable length)."""
+        pts = np.zeros((self.capacity, 4), np.float32)
+        n = min(len(raw_pts), self.capacity)
+        pts[:n, : raw_pts.shape[1]] = raw_pts[:n, :4]
+        if last_filtered is None:
+            last_xyz = jnp.zeros((1, 3), jnp.float32)
+            last_valid = jnp.zeros((1,), bool)
+        else:
+            last_xyz = last_filtered.xyz
+            last_valid = last_filtered.valid
+        return self._process(jnp.asarray(pts), jnp.asarray(n, jnp.int32), key,
+                             last_xyz, None, last_valid, first_frame=first_frame)

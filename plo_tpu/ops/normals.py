@@ -1,0 +1,367 @@
+"""Stage 2 — normal estimation: PCA, cross-product (ring layout) and
+FALS / SRI (range-image layout).
+
+Reference parity map:
+  * PCA: per-point gather of a +-window along the own ring plus windows around
+    the nearest point on rings above/below, 3x3 covariance eigendecomposition,
+    plane-validity check, +z hemisphere flip
+    (scan_registration.cpp:117-229, loop :1161-1229).
+  * cross_product: n = (forward - backward) x (up - down) with ring+-1 nearest
+    points (:231-277, loop :1248-1290).
+  * FALS: b = sum_window v/r over occupied cells, n = M^-1 b with M summed over
+    ALL in-bounds window cells (occupancy ignored — reference quirk,
+    range_image.cpp:40-84,117-180).
+  * SRI: Prewitt gradients of the range image in spherical coords,
+    n = Rhat [1, dr/dtheta/(r cos phi), dr/dphi/r] (range_image.cpp:86-115,
+    182-261).
+
+All paths flip normals into the +z hemisphere (scan_registration.cpp:1196-1200
+etc.) — a behavior the solve depends on (SURVEY.md §3.5).
+
+Deviation note: the reference's FALS/SRI paths index the ring-major cloud with
+range-image cell counters (scan_registration.cpp:1305-1327), a bookkeeping bug
+(both methods are marked broken in results.png). Here the range-image paths are
+implemented as intended: each occupied cell carries its own xyz.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plo_tpu.cloud import PointCloud
+from plo_tpu.config import PCAConfig, CrossProductConfig
+from plo_tpu.ops.eigh3 import eigh3_descending
+from plo_tpu.ops.neighbors import ring_neighbor_search
+from plo_tpu.ops.preprocess import RingCloud
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NormalResult:
+    """Filtered cloud + PCA side data (the reference's filteredLaserCloud,
+    eigenvalues_matrix, eigenvectors_matrix and invalid_indices,
+    scan_registration.cpp:1122-1134)."""
+
+    cloud: PointCloud          # valid = point survived normal computation
+    eigvecs: jnp.ndarray       # [P, 3, 3] descending-order eigenvector columns
+    plane_fail: jnp.ndarray    # [P] bool — kept in cloud (use_all_points) but
+                               # excluded from sampling candidates (:1481-1489)
+
+
+def _adjacent_ring_index(cloud: RingCloud, offset: int, mode: str,
+                         knn_threshold: float, window: int = 16):
+    """Flat index of the reference's findNearestPoint on ring r+offset
+    (scan_registration.cpp:117-136). mode='kdtree': 3D NN with squared-distance
+    threshold (FLANN returns squared distances). mode='index': same position
+    index within the adjacent ring."""
+    h = cloud.ring_start.shape[0]
+    if mode == "kdtree":
+        d2, flat, found = ring_neighbor_search(
+            cloud.xyz, cloud.ring, cloud.pos_in_ring, cloud.valid,
+            cloud.ring_start, cloud.ring_count, offset, window=window,
+        )
+        found = found & (d2 < knn_threshold)
+        return flat, found
+    elif mode == "index":
+        tring = cloud.ring + offset
+        ok = (tring >= 0) & (tring < h)
+        tring_c = jnp.clip(tring, 0, h - 1)
+        flat = cloud.ring_start[tring_c] + cloud.pos_in_ring
+        ok = ok & (cloud.pos_in_ring < cloud.ring_count[tring_c])
+        return jnp.clip(flat, 0, cloud.capacity - 1), ok & cloud.valid
+    raise ValueError(f"invalid neighbor_scan {mode!r}")
+
+
+def _ring_interior_mask(cloud: RingCloud) -> jnp.ndarray:
+    """Points eligible for normal computation: ring in [1, H-2], own/adjacent
+    ring sizes >= 17, and position in [5, size-5) (scan_registration.cpp:
+    1162-1170 — scanEnd-scanStart < 6 with the +5/-6 index offsets means rings
+    shorter than 17 points are skipped entirely)."""
+    h = cloud.ring_start.shape[0]
+    ring = jnp.clip(cloud.ring, 0, h - 1)
+    size_ok = lambda r: cloud.ring_count[jnp.clip(r, 0, h - 1)] >= 17
+    ring_ok = (cloud.ring >= 1) & (cloud.ring <= h - 2)
+    sizes_ok = size_ok(ring) & size_ok(ring - 1) & size_ok(ring + 1)
+    pos_ok = (cloud.pos_in_ring >= 5) & (cloud.pos_in_ring < cloud.ring_count[ring] - 5)
+    return cloud.valid & ring_ok & sizes_ok & pos_ok
+
+
+def _window_gather(cloud: RingCloud, center_flat: jnp.ndarray, center_ok: jnp.ndarray,
+                   window_size: int, iter_step: int):
+    """Gather the +-window along the ring of `center_flat`; a slot is valid if
+    it stays inside the same ring (scan_registration.cpp:166-169)."""
+    offs = jnp.arange(-window_size, window_size + 1, iter_step, dtype=jnp.int32)
+    idx = center_flat[:, None] + offs[None, :]
+    idx_c = jnp.clip(idx, 0, cloud.capacity - 1)
+    same_ring = cloud.ring[idx_c] == cloud.ring[jnp.clip(center_flat, 0, cloud.capacity - 1)][:, None]
+    in_bounds = (idx >= 0) & (idx < cloud.capacity)
+    ok = center_ok[:, None] & same_ring & in_bounds & cloud.valid[idx_c]
+    return cloud.xyz[idx_c], ok  # [P, Wn, 3], [P, Wn]
+
+
+@partial(jax.jit, static_argnames=("window_size", "iter_step", "neighbor_scan",
+                                   "use_all_points"))
+def _pca_impl(cloud: RingCloud, window_size: int, iter_step: int,
+              knn_distance_threshold: float, neighbor_scan: str,
+              distance_threshold: float, valid_points_threshold: float,
+              use_all_points: bool) -> NormalResult:
+    n_win = len(range(-window_size, window_size + 1, iter_step))
+    num = 3 * n_win  # required full count (scan_registration.cpp:161,198)
+
+    eligible = _ring_interior_mask(cloud)
+    self_idx = jnp.arange(cloud.capacity, dtype=jnp.int32)
+
+    up_flat, up_ok = _adjacent_ring_index(cloud, -1, neighbor_scan, knn_distance_threshold)
+    dn_flat, dn_ok = _adjacent_ring_index(cloud, +1, neighbor_scan, knn_distance_threshold)
+
+    p0, m0 = _window_gather(cloud, self_idx, eligible, window_size, iter_step)
+    p1, m1 = _window_gather(cloud, up_flat, up_ok & eligible, window_size, iter_step)
+    p2, m2 = _window_gather(cloud, dn_flat, dn_ok & eligible, window_size, iter_step)
+
+    pts = jnp.concatenate([p0, p1, p2], axis=1)   # [P, num, 3]
+    msk = jnp.concatenate([m0, m1, m2], axis=1)   # [P, num]
+
+    count = jnp.sum(msk, axis=1)
+    full = eligible & (count == num)  # pca success requires every slot filled
+
+    w = msk[..., None].astype(jnp.float32)
+    denom = jnp.maximum(count[:, None, None].astype(jnp.float32), 1.0)
+    centroid = jnp.sum(pts * w, axis=1, keepdims=True) / denom
+    centered = (pts - centroid) * w
+    cov = jnp.einsum("pni,pnj->pij", centered, centered) / jnp.maximum(
+        count[:, None, None].astype(jnp.float32) - 1.0, 1.0
+    )
+
+    eigvals, eigvecs = eigh3_descending(cov)  # descending; col 2 = min eigvec
+
+    normal = eigvecs[:, :, 2]
+    # Plane validity (scan_registration.cpp:138-156): fraction of window points
+    # within distance_threshold of the plane through the centroid.
+    dist = jnp.abs(jnp.einsum("pni,pi->pn", pts - centroid, normal))
+    n_close = jnp.sum((dist < distance_threshold) & msk, axis=1)
+    plane_ok = n_close >= valid_points_threshold * count
+
+    # +z hemisphere flip (:1196-1200).
+    flip = jnp.where(normal[:, 2:3] < 0, -1.0, 1.0)
+    normal = normal * flip
+    nrm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = normal / jnp.maximum(nrm, 1e-12)
+
+    plane_fail = full & ~plane_ok
+    if use_all_points:
+        keep = full  # plane-fail points stay in the model cloud (:1182-1192)
+    else:
+        keep = full & plane_ok
+
+    out_eigvals = jnp.where(plane_fail[:, None], -1.0, eigvals)
+
+    out = PointCloud(
+        xyz=cloud.xyz,
+        normal=jnp.where(keep[:, None], normal, 0.0),
+        intensity=cloud.intensity,
+        curvature=jnp.zeros((cloud.capacity,), jnp.float32),
+        eigvals=jnp.where(keep[:, None], out_eigvals, 0.0),
+        valid=keep,
+    )
+    return NormalResult(cloud=out, eigvecs=eigvecs, plane_fail=plane_fail)
+
+
+def compute_normals_pca(cloud: RingCloud, cfg: PCAConfig, use_all_points: bool) -> NormalResult:
+    return _pca_impl(
+        cloud, cfg.window_size, cfg.iter_step, cfg.knn_distance_threshold,
+        cfg.neighbor_scan, cfg.plane_constraint.distance_threshold,
+        cfg.plane_constraint.valid_points_threshold, use_all_points,
+    )
+
+
+@partial(jax.jit, static_argnames=("neighbor_scan",))
+def _cross_product_impl(cloud: RingCloud, knn_distance_threshold: float,
+                        neighbor_scan: str) -> NormalResult:
+    eligible = _ring_interior_mask(cloud)
+    cap = cloud.capacity
+    self_idx = jnp.arange(cap, dtype=jnp.int32)
+
+    def ring_offset_pt(off):
+        idx = jnp.clip(self_idx + off, 0, cap - 1)
+        ok = (self_idx + off >= 0) & (self_idx + off < cap) & (cloud.ring[idx] == cloud.ring)
+        return cloud.xyz[idx], ok & cloud.valid[idx]
+
+    fwd, fok = ring_offset_pt(1)
+    bwd, bok = ring_offset_pt(-1)
+    up_flat, uok = _adjacent_ring_index(cloud, -1, neighbor_scan, knn_distance_threshold)
+    dn_flat, dok = _adjacent_ring_index(cloud, +1, neighbor_scan, knn_distance_threshold)
+    up = cloud.xyz[up_flat]
+    dn = cloud.xyz[dn_flat]
+
+    normal = jnp.cross(fwd - bwd, up - dn)
+    nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    ok = eligible & fok & bok & uok & dok & (nn[:, 0] > 1e-12)
+    normal = normal / jnp.maximum(nn, 1e-12)
+    normal = normal * jnp.where(normal[:, 2:3] < 0, -1.0, 1.0)
+
+    out = PointCloud(
+        xyz=cloud.xyz,
+        normal=jnp.where(ok[:, None], normal, 0.0),
+        intensity=cloud.intensity,
+        curvature=jnp.zeros((cap,), jnp.float32),
+        eigvals=jnp.zeros((cap, 3), jnp.float32),
+        valid=ok,
+    )
+    return NormalResult(cloud=out, eigvecs=jnp.zeros((cap, 3, 3), jnp.float32),
+                        plane_fail=jnp.zeros((cap,), bool))
+
+
+def compute_normals_cross_product(cloud: RingCloud, cfg: CrossProductConfig) -> NormalResult:
+    return _cross_product_impl(cloud, cfg.knn_distance_threshold, cfg.neighbor_scan)
+
+
+# ---------------------------------------------------------------------------
+# Range-image methods (FALS / SRI)
+# ---------------------------------------------------------------------------
+
+def angle_matrices(height: int, width: int, fov_up_deg: float, fov_down_deg: float):
+    """Per-pixel azimuth/vertical angles (range_image.cpp:24-38)."""
+    fov_up = np.deg2rad(fov_up_deg)
+    fov_down = np.deg2rad(fov_down_deg)
+    fov_total = fov_up - fov_down
+    col = np.arange(width, dtype=np.float32)
+    row = np.arange(height, dtype=np.float32)
+    azimuth = 2.0 * np.pi * (1.0 - col / width) - np.pi         # [W]
+    vertical = fov_down + fov_total * (1.0 - row / height)      # [H]
+    az = np.broadcast_to(azimuth[None, :], (height, width))
+    ve = np.broadcast_to(vertical[:, None], (height, width))
+    return az.astype(np.float32), ve.astype(np.float32)
+
+
+def _v_field(az: np.ndarray, ve: np.ndarray) -> np.ndarray:
+    """The reference's v vector per pixel: [sin t cos p, sin p, cos t cos p]
+    (range_image.cpp:65-68)."""
+    return np.stack(
+        [np.sin(az) * np.cos(ve), np.sin(ve), np.cos(az) * np.cos(ve)], axis=-1
+    ).astype(np.float32)
+
+
+def fals_m_inv(height: int, width: int, window_size: int,
+               fov_up_deg: float, fov_down_deg: float) -> np.ndarray:
+    """Precomputed per-pixel M^-1 (range_image.cpp:40-84). M sums v v^T over all
+    in-bounds window cells regardless of occupancy (reference quirk)."""
+    az, ve = angle_matrices(height, width, fov_up_deg, fov_down_deg)
+    v = _v_field(az, ve)  # [H, W, 3]
+    vvt = np.einsum("hwi,hwj->hwij", v, v)
+    M = np.zeros((height, width, 3, 3), np.float64)
+    for di in range(-window_size, window_size + 1):
+        r0, r1 = max(0, -di), min(height, height - di)
+        for dj in range(-window_size, window_size + 1):
+            c0, c1 = max(0, -dj), min(width, width - dj)
+            M[r0:r1, c0:c1] += vvt[r0 + di : r1 + di, c0 + dj : c1 + dj]
+    det = np.linalg.det(M)
+    ok = det > 1e-6
+    Minv = np.zeros_like(M)
+    Minv[ok] = np.linalg.inv(M[ok])
+    return Minv.astype(np.float32)
+
+
+def _shifted(x: jnp.ndarray, di: int, dj: int, fill) -> jnp.ndarray:
+    """x shifted so out[r, c] = x[r+di, c+dj] (out-of-bounds -> fill)."""
+    h, w = x.shape[:2]
+    pad = [(max(0, -di) + max(0, di),) * 1]
+    out = jnp.full_like(x, fill)
+    r0, r1 = max(0, -di), min(h, h - di)
+    c0, c1 = max(0, -dj), min(w, w - dj)
+    return out.at[r0:r1, c0:c1].set(x[r0 + di : r1 + di, c0 + dj : c1 + dj])
+
+
+@partial(jax.jit, static_argnames=("window_size",))
+def _fals_impl(rng_img: jnp.ndarray, v: jnp.ndarray, m_inv: jnp.ndarray,
+               window_size: int):
+    occ = jnp.isfinite(rng_img)
+    inv_r = jnp.where(occ, 1.0 / jnp.maximum(rng_img, 1e-9), 0.0)
+    contrib = v * inv_r[..., None]  # [H, W, 3] — v/r for occupied cells
+    b = jnp.zeros_like(v)
+    for di in range(-window_size, window_size + 1):
+        for dj in range(-window_size, window_size + 1):
+            b = b + _shifted(contrib, di, dj, 0.0)
+    normal = jnp.einsum("hwij,hwj->hwi", m_inv, b)
+    nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    ok = occ & (nn[..., 0] > 1e-12) & jnp.any(m_inv != 0.0, axis=(-1, -2))
+    normal = normal / jnp.maximum(nn, 1e-12)
+    normal = normal * jnp.where(normal[..., 2:3] < 0, -1.0, 1.0)
+    return normal, ok
+
+
+@partial(jax.jit, static_argnames=("window_size",))
+def _sri_impl(rng_img: jnp.ndarray, vertical: jnp.ndarray, rhat: jnp.ndarray,
+              window_size: int):
+    h, w = rng_img.shape
+    occ = jnp.isfinite(rng_img)
+    r_safe = jnp.where(occ, rng_img, 0.0)
+
+    dr_dtheta = jnp.zeros_like(rng_img)
+    dr_dphi = jnp.zeros_like(rng_img)
+    for di in range(-window_size, window_size + 1):
+        for dj in range(-window_size, window_size + 1):
+            neigh = _shifted(r_safe, di, dj, 0.0)
+            mx = 1.0 if dj < 0 else (-1.0 if dj > 0 else 0.0)  # Prewitt (range_image.cpp:201-215)
+            my = 1.0 if di < 0 else (-1.0 if di > 0 else 0.0)
+            if mx:
+                dr_dtheta = dr_dtheta + mx * neigh
+            if my:
+                dr_dphi = dr_dphi + my * neigh
+
+    r = jnp.maximum(rng_img, 1e-9)
+    grad = jnp.stack(
+        [jnp.ones_like(r), dr_dtheta / (r * jnp.cos(vertical)), dr_dphi / r], axis=-1
+    )
+    normal = jnp.einsum("hwij,hwj->hwi", rhat, grad)
+    nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    # Border rows/cols excluded (range_image.cpp:218-219).
+    rr = jnp.arange(h)[:, None]
+    cc = jnp.arange(w)[None, :]
+    interior = (rr >= window_size) & (rr < h - window_size) & (cc >= window_size) & (cc < w - window_size)
+    ok = occ & interior & (nn[..., 0] > 1e-12)
+    normal = normal / jnp.maximum(nn, 1e-12)
+    normal = normal * jnp.where(normal[..., 2:3] < 0, -1.0, 1.0)
+    return normal, ok
+
+
+def sri_rhat(height: int, width: int, fov_up_deg: float, fov_down_deg: float) -> np.ndarray:
+    """Per-pixel Rhat = [zhat xhat yhat] * R_theta * R_phi (range_image.cpp:86-115)."""
+    az, ve = angle_matrices(height, width, fov_up_deg, fov_down_deg)
+    ct, st = np.cos(az), np.sin(az)
+    cp, sp = np.cos(ve), np.sin(ve)
+    zeros = np.zeros_like(ct)
+    ones = np.ones_like(ct)
+    R_theta = np.stack(
+        [np.stack([ct, -st, zeros], -1), np.stack([st, ct, zeros], -1),
+         np.stack([zeros, zeros, ones], -1)], axis=-2)
+    R_phi = np.stack(
+        [np.stack([cp, zeros, -sp], -1), np.stack([zeros, ones, zeros], -1),
+         np.stack([sp, zeros, cp], -1)], axis=-2)
+    R = R_theta @ R_phi
+    perm = np.array([[0, 1, 0], [0, 0, 1], [1, 0, 0]], np.float32)  # cols z,x,y
+    return (perm @ R).astype(np.float32)
+
+
+class RangeImageNormals:
+    """Stateful wrapper holding the precomputed per-pixel constants (the
+    reference's lazy statics, range_image.cpp:7-22)."""
+
+    def __init__(self, height: int, width: int, fov_up_deg: float, fov_down_deg: float,
+                 window_size: int):
+        az, ve = angle_matrices(height, width, fov_up_deg, fov_down_deg)
+        self.window_size = window_size
+        self.vertical = jnp.asarray(ve)
+        self.v = jnp.asarray(_v_field(az, ve))
+        self.m_inv = jnp.asarray(fals_m_inv(height, width, window_size, fov_up_deg, fov_down_deg))
+        self.rhat = jnp.asarray(sri_rhat(height, width, fov_up_deg, fov_down_deg))
+
+    def fals(self, rng_img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return _fals_impl(rng_img, self.v, self.m_inv, self.window_size)
+
+    def sri(self, rng_img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return _sri_impl(rng_img, self.vertical, self.rhat, self.window_size)

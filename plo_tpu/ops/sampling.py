@@ -1,0 +1,248 @@
+"""Stage 3b — sampling: three-axis, random, normal-direction binning,
+major-axis weighted binning, and farthest-point sampling.
+
+Every sampler returns a fixed-size index set `(idx [S], valid [S])` — the
+padded analog of the reference's `sampled_indices` vector
+(scan_registration.cpp:1401,1496-1501).
+
+Reference parity:
+  * three_axis: 9 ranked score lists from a2D and p x n, top points_per_list
+    from each, duplicates allowed (scan_registration.cpp:492-533).
+  * random: shuffle candidates, take first max_points (:566-582) — here a
+    keyed permutation (deterministic per key; the reference's RNG is seeded
+    from random_device, so parity is statistical, SURVEY.md §7.3).
+  * normal: spherical histogram of normal directions (azimuth x elevation
+    bins); bins below min dropped, above max downsampled (:536-629).
+  * major_axis: same histogram, bins weighted by mean distance of (subsampled)
+    bin members to the previous frame's cloud under a cylinder constraint
+    (||p-q|| < r_proj and ||(p-q) x n|| < r, >= 3 neighbors); per-bin quota =
+    weight * max_total_points (:631-759). Frame 1 falls back to `normal`
+    (:783).
+  * FPS: exact greedy farthest-point traversal (common.cpp:19-85), expressed
+    as a fori_loop with O(N) masked argmax per step — used for RANSAC seeds
+    and per-bin FPS sampling.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+INF = jnp.inf
+
+
+def compact_indices(keep: jnp.ndarray, size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compact a boolean mask over [P] into a fixed-size index list [size]."""
+    p = keep.shape[0]
+    order = jnp.argsort(~keep, stable=True)  # kept points first, stable order
+    idx = order[:size]
+    valid = jnp.arange(size) < jnp.sum(keep.astype(jnp.int32))
+    return idx.astype(jnp.int32), valid
+
+
+@partial(jax.jit, static_argnames=("max_points",))
+def random_sampling(candidates: jnp.ndarray, key: jnp.ndarray, max_points: int):
+    """Keyed-permutation subset of candidate points (scan_registration.cpp:566-582)."""
+    p = candidates.shape[0]
+    scores = jax.random.uniform(key, (p,))
+    scores = jnp.where(candidates, scores, INF)
+    order = jnp.argsort(scores)
+    idx = order[:max_points].astype(jnp.int32)
+    valid = jnp.arange(max_points) < jnp.sum(candidates.astype(jnp.int32))
+    return idx, valid
+
+
+def spherical_bins(normals: jnp.ndarray, azimuth_bins: int, elevation_bins: int) -> jnp.ndarray:
+    """Bin id of each normal direction (computeSphericalHistogram,
+    scan_registration.cpp:536-564). Returns [P] i32 in [0, Ab*Eb)."""
+    az = jnp.arctan2(normals[:, 1], normals[:, 0])
+    el = jnp.arcsin(jnp.clip(normals[:, 2], -1.0, 1.0))
+    az = jnp.where(az < 0, az + 2 * jnp.pi, az)
+    el = el + jnp.pi / 2
+    ai = jnp.minimum((az / (2 * jnp.pi / azimuth_bins)).astype(jnp.int32), azimuth_bins - 1)
+    ei = jnp.minimum((el / (jnp.pi / elevation_bins)).astype(jnp.int32), elevation_bins - 1)
+    return ai * elevation_bins + ei
+
+
+def _rank_within_bins(bins: jnp.ndarray, member: jnp.ndarray, scores: jnp.ndarray,
+                      n_bins: int):
+    """Rank (0-based) of each member within its bin, ordered by ascending
+    score. Non-members get a huge rank. Also returns per-bin counts."""
+    p = bins.shape[0]
+    safe_bins = jnp.where(member, bins, n_bins)
+    counts = jnp.bincount(safe_bins, length=n_bins + 1)[:n_bins]
+    # Sort by (bin, score); position within segment = rank.
+    order = jnp.lexsort((jnp.where(member, scores, INF), safe_bins))
+    sorted_bins = safe_bins[order]
+    starts = jnp.searchsorted(sorted_bins, jnp.arange(n_bins + 1))
+    rank_sorted = jnp.arange(p) - starts[jnp.clip(sorted_bins, 0, n_bins)]
+    rank = jnp.zeros((p,), jnp.int32).at[order].set(rank_sorted.astype(jnp.int32))
+    rank = jnp.where(member, rank, p)
+    return rank, counts
+
+
+@partial(jax.jit, static_argnames=("azimuth_bins", "elevation_bins",
+                                   "min_points_per_bin", "max_points_per_bin", "out_size"))
+def normal_sampling(normals: jnp.ndarray, candidates: jnp.ndarray, key: jnp.ndarray,
+                    azimuth_bins: int, elevation_bins: int,
+                    min_points_per_bin: int, max_points_per_bin: int,
+                    out_size: int):
+    """Spherical-histogram sampling (normalSampling, scan_registration.cpp:584-629).
+
+    `out_size` is the static output capacity (azimuth*elevation*max is the
+    exact bound). Within-bin downsampling uses a random score; the reference's
+    FPS strategy is marked broken (results.png) — random is the verified path.
+    """
+    n_bins = azimuth_bins * elevation_bins
+    bins = spherical_bins(normals, azimuth_bins, elevation_bins)
+    scores = jax.random.uniform(key, (candidates.shape[0],))
+    rank, counts = _rank_within_bins(bins, candidates, scores, n_bins)
+    binc = counts[jnp.clip(bins, 0, n_bins - 1)]
+    keep = candidates & (binc >= min_points_per_bin) & (rank < max_points_per_bin)
+    return compact_indices(keep, out_size)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def cylinder_stats(query: jnp.ndarray, normal: jnp.ndarray,
+                   target: jnp.ndarray, target_valid: jnp.ndarray,
+                   r_proj: float, r: float, chunk: int = 4096):
+    """Per-query neighbor count and summed distance over the previous cloud
+    under the cylinder gates ||p-q|| < r_proj and ||(p-q) x n|| < r
+    (majorAxisSampling inner loop, scan_registration.cpp:676-701).
+    Returns (count [Q] i32, dist_sum [Q] f32)."""
+    t = target.shape[0]
+    n_chunks = -(-t // chunk)
+    pad = n_chunks * chunk - t
+    tp = jnp.pad(target, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+    tv = jnp.pad(target_valid, (0, pad)).reshape(n_chunks, chunk)
+    nx, ny, nz = normal[:, 0:1], normal[:, 1:2], normal[:, 2:3]
+
+    def body(carry, inputs):
+        cnt, dsum = carry
+        tc, vc = inputs
+        dx = query[:, 0:1] - tc[None, :, 0]
+        dy = query[:, 1:2] - tc[None, :, 1]
+        dz = query[:, 2:3] - tc[None, :, 2]
+        d2 = dx * dx + dy * dy + dz * dz
+        cx = dy * nz - dz * ny
+        cy = dz * nx - dx * nz
+        cz = dx * ny - dy * nx
+        p2 = cx * cx + cy * cy + cz * cz
+        ok = vc[None, :] & (d2 < r_proj * r_proj) & (p2 < r * r)
+        cnt = cnt + jnp.sum(ok, axis=1)
+        dsum = dsum + jnp.sum(jnp.where(ok, jnp.sqrt(d2), 0.0), axis=1)
+        return (cnt, dsum), None
+
+    init = (jnp.zeros((query.shape[0],), jnp.int32), jnp.zeros((query.shape[0],), jnp.float32))
+    (cnt, dsum), _ = jax.lax.scan(body, init, (tp, tv))
+    return cnt, dsum
+
+
+@partial(jax.jit, static_argnames=("azimuth_bins", "elevation_bins", "min_points_per_bin",
+                                   "max_points_per_bin", "max_total_points", "out_size"))
+def major_axis_sampling(xyz: jnp.ndarray, normals: jnp.ndarray, candidates: jnp.ndarray,
+                        last_xyz: jnp.ndarray, last_valid: jnp.ndarray, key: jnp.ndarray,
+                        r: float, r_proj: float, max_total_points: int,
+                        azimuth_bins: int, elevation_bins: int,
+                        min_points_per_bin: int, max_points_per_bin: int,
+                        out_size: int):
+    """Weighted-bin sampling against the previous frame's cloud
+    (majorAxisSampling, scan_registration.cpp:631-759)."""
+    n_bins = azimuth_bins * elevation_bins
+    k_sub, k_sel = jax.random.split(key)
+    bins = spherical_bins(normals, azimuth_bins, elevation_bins)
+
+    # Phase 1 — weight estimation on a per-bin random subsample of up to
+    # max_points_per_bin members (:658-664).
+    sub_scores = jax.random.uniform(k_sub, (candidates.shape[0],))
+    rank, counts = _rank_within_bins(bins, candidates, sub_scores, n_bins)
+    binc = counts[jnp.clip(bins, 0, n_bins - 1)]
+    bin_live = binc >= min_points_per_bin
+    in_subsample = candidates & bin_live & (rank < max_points_per_bin)
+
+    cnt, dsum = cylinder_stats(xyz, normals, last_xyz, last_valid, r_proj, r)
+    has3 = in_subsample & (cnt >= 3)
+    avg_dist = jnp.where(has3, dsum / jnp.maximum(cnt, 1).astype(jnp.float32), 0.0)
+
+    safe_bins = jnp.where(has3, bins, n_bins)
+    bin_valid_samples = jnp.bincount(safe_bins, length=n_bins + 1)[:n_bins]
+    bin_dist_sum = jnp.zeros((n_bins + 1,), jnp.float32).at[safe_bins].add(avg_dist)[:n_bins]
+    bin_weight = jnp.where(
+        bin_valid_samples >= 3,
+        bin_dist_sum / jnp.maximum(bin_valid_samples, 1).astype(jnp.float32),
+        0.0,
+    )
+    total_w = jnp.sum(bin_weight)
+    bin_weight = jnp.where(total_w > 0, bin_weight / jnp.maximum(total_w, 1e-12), 0.0)
+
+    # Phase 2 — quota selection (:726-758): quota = min(weight*max_total, size).
+    quota = jnp.minimum((bin_weight * max_total_points).astype(jnp.int32), counts)
+    sel_scores = jax.random.uniform(k_sel, (candidates.shape[0],))
+    rank2, _ = _rank_within_bins(bins, candidates, sel_scores, n_bins)
+    my_quota = quota[jnp.clip(bins, 0, n_bins - 1)]
+    keep = candidates & bin_live & (rank2 < my_quota)
+    return compact_indices(keep, out_size)
+
+
+@partial(jax.jit, static_argnames=("points_per_list",))
+def three_axis_sampling(xyz: jnp.ndarray, normals: jnp.ndarray, eigvals: jnp.ndarray,
+                        candidates: jnp.ndarray, points_per_list: int):
+    """IMLS-SLAM three-axis sampling (threeAxisSampling,
+    scan_registration.cpp:492-533): 9 score lists, top points_per_list from
+    each, duplicates allowed. Output size = 9 * points_per_list."""
+    safe = lambda x: jnp.maximum(x, 1e-20)
+    l1, l2, l3 = eigvals[:, 0], eigvals[:, 1], eigvals[:, 2]
+    aD = (jnp.sqrt(safe(l2)) - jnp.sqrt(safe(l3))) / jnp.sqrt(safe(l1))
+    a2d = aD * aD
+    cross = jnp.cross(xyz, normals)
+    scores = jnp.stack(
+        [
+            a2d * cross[:, 0], -a2d * cross[:, 0],
+            a2d * cross[:, 1], -a2d * cross[:, 1],
+            a2d * cross[:, 2], -a2d * cross[:, 2],
+            a2d * jnp.abs(normals[:, 0]),
+            a2d * jnp.abs(normals[:, 1]),
+            a2d * jnp.abs(normals[:, 2]),
+        ],
+        axis=0,
+    )  # [9, P]
+    scores = jnp.where(candidates[None, :], scores, -INF)
+    top_vals, top_idx = jax.lax.top_k(scores, points_per_list)  # [9, k]
+    n_cand = jnp.sum(candidates.astype(jnp.int32))
+    per_list_valid = jnp.broadcast_to(
+        jnp.arange(points_per_list)[None, :] < jnp.minimum(points_per_list, n_cand),
+        (9, points_per_list),
+    )
+    return top_idx.reshape(-1).astype(jnp.int32), per_list_valid.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("num_samples",))
+def farthest_point_sampling(xyz: jnp.ndarray, valid: jnp.ndarray, key: jnp.ndarray,
+                            num_samples: int):
+    """Exact greedy FPS (farthestPointSampling, common.cpp:19-85) with a keyed
+    random first pick. Returns idx [num_samples] i32. O(num_samples * N)."""
+    p = xyz.shape[0]
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    first = jax.random.randint(key, (), 0, jnp.maximum(n_valid, 1))
+    # Map "first among valid" to a flat index.
+    order = jnp.argsort(~valid, stable=True)
+    first_idx = order[jnp.clip(first, 0, p - 1)]
+
+    d0 = jnp.linalg.norm(xyz - xyz[first_idx], axis=-1)
+    min_d = jnp.where(valid, d0, -INF)
+    picked = jnp.zeros((num_samples,), jnp.int32).at[0].set(first_idx.astype(jnp.int32))
+    min_d = min_d.at[first_idx].set(-INF)
+
+    def body(i, carry):
+        picked, min_d = carry
+        nxt = jnp.argmax(min_d).astype(jnp.int32)
+        picked = picked.at[i].set(nxt)
+        d = jnp.linalg.norm(xyz - xyz[nxt], axis=-1)
+        min_d = jnp.minimum(min_d, jnp.where(valid, d, -INF))
+        min_d = min_d.at[nxt].set(-INF)
+        return picked, min_d
+
+    picked, _ = jax.lax.fori_loop(1, num_samples, body, (picked, min_d))
+    return picked

@@ -1,0 +1,111 @@
+"""Degeneracy-aware probabilistic solver — DRPM
+(SolveMotionEstimationProblemDRPM, solver.cpp:499-603; degeneracy.h:5-131).
+
+Pipeline: weighted H = A^T W A -> 6x6 eigendecomposition -> per-eigenvector
+noise mean/variance from isotropic point/normal noise models -> signal-to-noise
+probability via the Gaussian CDF (snr_factor = 10) -> if the least-probable
+direction falls below threshold, solve with the probability-weighted
+pseudo-inverse x = U diag(p_k / lambda_k) U^T A^T W b; otherwise plain
+weighted LS.
+
+The reference's per-point 6x6 loop (degeneracy.h:33-69) is one batched einsum
+here; boost::math::cdf becomes jax.scipy.stats.norm.cdf.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.stats import norm
+
+from plo_tpu import geometry as geo
+from plo_tpu.solvers.build import build_system, masked_lstsq, se3_from_x
+
+SNR_FACTOR = 10.0  # solver.cpp:547
+
+
+@jax.jit
+def compute_noise_estimate(points, normals, weights, valid, U,
+                           stdev_points, stdev_normals):
+    """degeneracy::ComputeNoiseEstimate (degeneracy.h:14-72), batched.
+
+    Returns (mean [6, 6], variance [6])."""
+    w = weights * valid.astype(jnp.float32)
+    nx = geo.hat(normals)                 # [N, 3, 3]
+    px = geo.hat(points)                  # [N, 3, 3]
+
+    B = jnp.zeros(points.shape[:1] + (6, 6), jnp.float32)
+    B = B.at[:, 0:3, 0:3].set(-nx)
+    B = B.at[:, 0:3, 3:6].set(px @ nx)
+    B = B.at[:, 3:6, 3:6].set(nx)
+
+    Ncov = jnp.zeros_like(B)
+    Ncov = Ncov.at[:, 0:3, 0:3].set(jnp.eye(3) * stdev_points**2)
+    Ncov = Ncov.at[:, 3:6, 3:6].set(jnp.eye(3) * stdev_normals**2)
+
+    contrib = jnp.einsum("nij,njk,nlk->nil", B, Ncov, B) * w[:, None, None]
+    mean = jnp.sum(contrib, axis=0)
+
+    sw = jnp.sqrt(w)
+    v = jnp.concatenate(
+        [sw[:, None] * jnp.einsum("nij,nj->ni", px, normals), sw[:, None] * normals],
+        axis=1,
+    )  # [N, 6]
+
+    # Per direction k: a = u^T C_n u, b = u^T v_n; var_k += 2a^2 + 4ab^2.
+    a = jnp.einsum("ik,nij,jk->nk", U, contrib, U)  # [N, 6]
+    bb = v @ U                                      # [N, 6]
+    var = jnp.sum(2.0 * a * a + 4.0 * a * bb * bb, axis=0)
+    return mean, var
+
+
+@jax.jit
+def signal_to_noise_probabilities(H, noise_mean, noise_var, U):
+    """degeneracy::ComputeSignalToNoiseProbabilities (degeneracy.h:74-105)."""
+    measurement = jnp.einsum("ik,ij,jk->k", U, H, U)
+    expected_noise = jnp.einsum("ik,ij,jk->k", U, noise_mean, U)
+    stdev = jnp.sqrt(jnp.maximum(noise_var, 0.0))
+    test_point = measurement / (1.0 + SNR_FACTOR)
+    prob = norm.cdf(test_point, loc=expected_noise, scale=jnp.maximum(stdev, 1e-20))
+    bad = ~(jnp.isfinite(expected_noise) & jnp.isfinite(stdev) & jnp.isfinite(test_point))
+    return jnp.where(bad, 0.0, prob)
+
+
+@jax.jit
+def solve_drpm(source, ref, normal, valid, weights,
+               threshold: float, stdev_points: float, stdev_normals: float):
+    """Returns (deltaTrans 4x4, ok bool, probabilities [6])."""
+    A, b = build_system(source, ref, normal, valid)
+    sw = jnp.sqrt(jnp.maximum(weights, 0.0)) * valid.astype(jnp.float32)
+    Aw = A * sw[:, None]
+    bw = b * sw
+
+    # Eigen-structure of H = Aw^T Aw via the SVD of Aw: lambda = sigma^2 and
+    # U = right singular vectors. Forming H explicitly and eigendecomposing it
+    # in f32 squares the condition number and destroys the small-eigenvalue
+    # directions the SNR pseudo-inverse divides by; the SVD keeps them at f32
+    # relative accuracy. Ordered ascending to match Eigen's SelfAdjointEigenSolver.
+    W, sig, vt = jnp.linalg.svd(Aw, full_matrices=False)
+    order = jnp.argsort(sig)  # ascending eigenvalues
+    sig = sig[order]
+    U = vt.T[:, order]
+    W = W[:, order]
+    eigvals = sig * sig
+    H = (U * eigvals[None, :]) @ U.T
+
+    noise_mean, noise_var = compute_noise_estimate(
+        source, normal, weights, valid, U, stdev_points, stdev_normals
+    )
+    probs = signal_to_noise_probabilities(H, noise_mean, noise_var, U)
+
+    # SNR pseudo-inverse solve (degeneracy.h:107-131):
+    # x = U diag(p/lambda) U^T A^T b = U diag(p/sigma) W^T b.
+    wb = W.T @ bw
+    d_psinv = jnp.where(eigvals > 1e-10, probs / jnp.maximum(sig, 1e-20), 0.0)
+    x_snr = U @ (d_psinv * wb)
+    x_wls = masked_lstsq(Aw, bw)
+
+    degenerate = jnp.min(probs) < threshold
+    x = jnp.where(degenerate, x_snr, x_wls)
+    ok = jnp.all(jnp.isfinite(x)) & (jnp.sum(valid.astype(jnp.int32)) >= 3)
+    x = jnp.where(ok, x, 0.0)
+    return se3_from_x(x), ok, probs

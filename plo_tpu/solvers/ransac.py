@@ -1,0 +1,141 @@
+"""Batched RANSAC point-to-plane solver
+(SolveMotionEstimationProblemRANSAC, solver.cpp:222-385).
+
+The reference's sequential loop (FPS-3 seed -> 3x6 solve -> inlier count ->
+early exit at min_inliers_percentage) is re-architected as one batched
+computation: all `max_iterations` hypotheses are seeded, solved, and scored in
+parallel, and the early-exit semantics are recovered exactly with a prefix
+cumulative-max: the winner is the running best at the first index where the
+running best exceeds min_inliers (or the global argmax when none does) — the
+same hypothesis the sequential loop would return.
+
+Hypothesis seeding replicates FPS-3 (common.cpp:19-85): a keyed random first
+point, then two farthest-first picks — each hypothesis gets an independent
+first pick, and the two argmax steps are batched [M, N] reductions.
+
+Deviation: the reference solves the underdetermined 3x6 seed system with
+Eigen's colPivHouseholderQr (a pivoted basic solution); here the minimum-norm
+solution A^T (A A^T)^-1 b is used. Individual hypothesis transforms differ,
+but both satisfy the 3 constraints and RANSAC selects by inlier count, so the
+statistics (and the refit, which dominates accuracy) match.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from plo_tpu import geometry as geo
+from plo_tpu.solvers.build import build_system
+from plo_tpu.solvers.drpm import solve_drpm
+from plo_tpu.solvers.ls import solve_ls_trimmed, solve_weighted_ls
+
+
+def _fps3_batched(xyz: jnp.ndarray, valid: jnp.ndarray, key: jnp.ndarray, m: int):
+    """FPS with 3 samples, batched over m hypotheses. Returns idx [M, 3]."""
+    n = xyz.shape[0]
+    n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
+    order = jnp.argsort(~valid, stable=True)
+    firsts = order[jax.random.randint(key, (m,), 0, n_valid)]  # [M]
+
+    big_neg = -jnp.inf
+    d1 = jnp.linalg.norm(xyz[None, :, :] - xyz[firsts][:, None, :], axis=-1)  # [M, N]
+    d1 = jnp.where(valid[None, :], d1, big_neg)
+    d1 = jnp.where(jnp.arange(n)[None, :] == firsts[:, None], big_neg, d1)
+    seconds = jnp.argmax(d1, axis=1)
+
+    d2 = jnp.linalg.norm(xyz[None, :, :] - xyz[seconds][:, None, :], axis=-1)
+    min_d = jnp.minimum(d1, jnp.where(valid[None, :], d2, big_neg))
+    min_d = jnp.where(jnp.arange(n)[None, :] == seconds[:, None], big_neg, min_d)
+    thirds = jnp.argmax(min_d, axis=1)
+    return jnp.stack([firsts, seconds.astype(jnp.int32), thirds.astype(jnp.int32)], axis=1)
+
+
+@jax.jit
+def _solve_seed(A3: jnp.ndarray, b3: jnp.ndarray):
+    """Min-norm solution of the 3x6 seed system (vmapped over hypotheses)."""
+    G = A3 @ A3.T + 1e-9 * jnp.eye(3)
+    lam = jnp.linalg.solve(G, b3)
+    return A3.T @ lam
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "hyp_chunk"))
+def _score_hypotheses(source, ref, normal, valid, R_all, t_all,
+                      distance_threshold: float, max_iterations: int,
+                      hyp_chunk: int = 500):
+    """Inlier counts for all hypotheses, chunked over hypotheses."""
+    m = max_iterations
+    n_chunks = -(-m // hyp_chunk)
+    pad = n_chunks * hyp_chunk - m
+    Rp = jnp.concatenate([R_all, jnp.tile(jnp.eye(3)[None], (pad, 1, 1))]).reshape(
+        n_chunks, hyp_chunk, 3, 3)
+    tp = jnp.concatenate([t_all, jnp.zeros((pad, 3))]).reshape(n_chunks, hyp_chunk, 3)
+
+    def body(_, inputs):
+        Rc, tc = inputs
+        tr = jnp.einsum("mij,nj->mni", Rc, source) + tc[:, None, :]
+        dist = jnp.abs(jnp.sum((tr - ref[None]) * normal[None], axis=-1))
+        cnt = jnp.sum((dist < distance_threshold) & valid[None, :], axis=1)
+        return None, cnt
+
+    _, counts = jax.lax.scan(body, None, (Rp, tp))
+    return counts.reshape(-1)[:m]
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "final_solve_method"))
+def solve_ransac(source, ref, normal, valid, key,
+                 max_iterations: int, distance_threshold: float,
+                 min_inliers_percentage: float, huber_threshold: float,
+                 final_solve_method: str, ls_threshold: float,
+                 drpm_threshold: float, drpm_stdev_points: float,
+                 drpm_stdev_normals: float):
+    """Returns (deltaTrans 4x4, ok bool)."""
+    n = source.shape[0]
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    min_inliers = (min_inliers_percentage * n_valid.astype(jnp.float32)).astype(jnp.int32)
+
+    # --- hypothesis generation ---
+    seeds = _fps3_batched(source, valid, key, max_iterations)  # [M, 3]
+    A_full, b_full = build_system(source, ref, normal, valid)
+    A3 = A_full[seeds]  # [M, 3, 6]
+    b3 = b_full[seeds]  # [M, 3]
+    x = jax.vmap(_solve_seed)(A3, b3)  # [M, 6]
+    R_all = geo.rotation_from_axis_angle(x[:, :3])
+    t_all = x[:, 3:6]
+
+    counts = _score_hypotheses(source, ref, normal, valid, R_all, t_all,
+                               distance_threshold, max_iterations)
+
+    # --- sequential early-exit semantics, batched (solver.cpp:316-326) ---
+    running_best = jax.lax.cummax(counts)
+    exceeded = running_best > min_inliers
+    any_exceeded = jnp.any(exceeded)
+    stop_idx = jnp.where(any_exceeded, jnp.argmax(exceeded), max_iterations - 1)
+    prefix_mask = jnp.arange(max_iterations) <= stop_idx
+    masked_counts = jnp.where(prefix_mask, counts, -1)
+    best = jnp.argmax(masked_counts)  # first max within the prefix
+    R_best, t_best = R_all[best], t_all[best]
+
+    # --- inlier refit with exp-Huber weights (solver.cpp:328-364) ---
+    tr = source @ R_best.T + t_best
+    dist = jnp.abs(jnp.sum((tr - ref) * normal, axis=-1))
+    inlier = valid & (dist < distance_threshold)
+    h2 = huber_threshold * distance_threshold
+    e = jnp.exp(-dist)
+    w = jnp.where(jnp.sqrt(e) < h2, e, 2.0 * h2 * jnp.sqrt(e) - h2 * h2)
+    w = jnp.where(inlier, w, 0.0)
+    wsum = jnp.sum(w)
+    w = jnp.where(wsum > 0, w / jnp.maximum(wsum, 1e-20), w)
+
+    if final_solve_method == "LS":
+        T, ok = solve_ls_trimmed(source, ref, normal, inlier, ls_threshold)
+    elif final_solve_method == "Weighted LS":
+        T, ok = solve_weighted_ls(source, ref, normal, inlier, w)
+    elif final_solve_method == "DRPM":
+        T, ok, _ = solve_drpm(source, ref, normal, inlier, w,
+                              drpm_threshold, drpm_stdev_points, drpm_stdev_normals)
+    else:
+        raise ValueError(f"invalid RANSAC final_solve_method {final_solve_method!r}")
+    return T, ok & (n_valid >= 3)

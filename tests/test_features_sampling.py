@@ -1,0 +1,126 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from plo_tpu import config as cfgmod
+from plo_tpu.io import synthetic
+from plo_tpu.ops import features, preprocess, sampling
+
+
+def preprocessed_scan(seed=0):
+    scans, _ = synthetic.synthetic_sequence(1, n_scans=64, azimuth_steps=720, seed=seed)
+    raw = scans[0]
+    P = 65536
+    pts = np.zeros((P, 4), np.float32)
+    n = min(len(raw), P)
+    pts[:n] = raw[:n]
+    return preprocess.preprocess(jnp.asarray(pts), n, cfgmod.SensorConfig(n_scans=64))
+
+
+def test_geometric_features_oracle(rng):
+    ev = np.sort(rng.random((100, 3)).astype(np.float32), axis=1)[:, ::-1]
+    f = np.asarray(features.geometric_features(jnp.asarray(ev)))
+    l1, l2, l3 = ev[:, 0], ev[:, 1], ev[:, 2]
+    np.testing.assert_allclose(f[:, 0], l1 + l2 + l3, rtol=1e-5)
+    np.testing.assert_allclose(f[:, 1], np.cbrt(l1 * l2 * l3), rtol=1e-4)
+    np.testing.assert_allclose(f[:, 3], (l1 - l3) / l1, rtol=1e-4)
+    np.testing.assert_allclose(f[:, 5], (l2 - l3) / l1, rtol=1e-4)
+    np.testing.assert_allclose(f[:, 7], l3 / l1, rtol=1e-4)
+
+
+def test_ring_curvature_flat_vs_edge():
+    rc = preprocessed_scan()
+    curv = np.asarray(features.ring_curvature(rc, window_size=5))
+    v = np.asarray(rc.valid)
+    assert np.isfinite(curv).all()
+    assert (curv[~v] == 0).all()
+    # Flat regions dominate the synthetic world: median curvature small.
+    cv = curv[v & (curv > 0)]
+    assert len(cv) > 1000
+
+
+def test_random_sampling_deterministic_and_bounded():
+    rc = preprocessed_scan()
+    cand = np.asarray(rc.valid)
+    key = jax.random.PRNGKey(7)
+    idx, valid = sampling.random_sampling(jnp.asarray(cand), key, 2000)
+    idx2, valid2 = sampling.random_sampling(jnp.asarray(cand), key, 2000)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx2))
+    assert valid.sum() == min(2000, cand.sum())
+    assert cand[np.asarray(idx)[np.asarray(valid)]].all()
+
+
+def test_spherical_bins_ranges(rng):
+    n = rng.normal(size=(1000, 3))
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    bins = np.asarray(sampling.spherical_bins(jnp.asarray(n.astype(np.float32)), 8, 8))
+    assert bins.min() >= 0 and bins.max() < 64
+
+
+def test_normal_sampling_bin_caps():
+    rc = preprocessed_scan()
+    # Fake normals: all pointing +z -> single bin; cap must bind.
+    p = rc.capacity
+    normals = np.tile(np.array([0, 0, 1.0], np.float32), (p, 1))
+    cand = np.asarray(rc.valid)
+    idx, valid = sampling.normal_sampling(
+        jnp.asarray(normals), jnp.asarray(cand), jax.random.PRNGKey(0),
+        azimuth_bins=8, elevation_bins=8, min_points_per_bin=20,
+        max_points_per_bin=100, out_size=8 * 8 * 100)
+    assert int(valid.sum()) == 100  # one bin, capped at max_points_per_bin
+
+
+def test_normal_sampling_min_bin_drop():
+    normals = np.zeros((64, 3), np.float32)
+    normals[:, 2] = 1.0
+    cand = np.zeros(64, bool)
+    cand[:10] = True  # 10 < min_points_per_bin=20
+    idx, valid = sampling.normal_sampling(
+        jnp.asarray(normals), jnp.asarray(cand), jax.random.PRNGKey(0),
+        8, 8, 20, 100, out_size=6400)
+    assert int(valid.sum()) == 0
+
+
+def test_three_axis_sampling_shape_and_candidates():
+    rc = preprocessed_scan()
+    p = rc.capacity
+    xyz = np.asarray(rc.xyz)
+    normals = np.tile(np.array([0, 0, 1.0], np.float32), (p, 1))
+    ev = np.tile(np.array([1.0, 0.5, 0.01], np.float32), (p, 1))
+    cand = np.asarray(rc.valid)
+    idx, valid = sampling.three_axis_sampling(
+        jnp.asarray(xyz), jnp.asarray(normals), jnp.asarray(ev),
+        jnp.asarray(cand), points_per_list=50)
+    assert idx.shape == (450,)
+    assert valid.sum() == 450
+    assert cand[np.asarray(idx)].all()
+
+
+def test_fps_spreads_points(rng):
+    # FPS on a line: samples should include both extremes.
+    n = 200
+    xyz = np.zeros((n, 3), np.float32)
+    xyz[:, 0] = np.linspace(0, 100, n)
+    idx = sampling.farthest_point_sampling(jnp.asarray(xyz), jnp.ones(n, bool),
+                                           jax.random.PRNGKey(3), 4)
+    picked = np.asarray(idx)
+    assert len(np.unique(picked)) == 4
+    xs = xyz[picked, 0]
+    assert xs.max() > 95 and xs.min() < 5
+
+
+def test_major_axis_sampling_runs():
+    rc = preprocessed_scan(seed=0)
+    rc2 = preprocessed_scan(seed=0)  # same scene as "last frame"
+    p = rc.capacity
+    normals = np.tile(np.array([0, 0, 1.0], np.float32), (p, 1))
+    cand = np.asarray(rc.valid)
+    idx, valid = sampling.major_axis_sampling(
+        rc.xyz, jnp.asarray(normals), jnp.asarray(cand),
+        rc2.xyz, rc2.valid, jax.random.PRNGKey(0),
+        r=0.5, r_proj=1.5, max_total_points=2000,
+        azimuth_bins=8, elevation_bins=8, min_points_per_bin=20,
+        max_points_per_bin=200, out_size=2000)
+    nv = int(valid.sum())
+    assert 0 < nv <= 2000
+    assert cand[np.asarray(idx)[np.asarray(valid)]].all()

@@ -1,0 +1,106 @@
+import numpy as np
+import jax.numpy as jnp
+
+from plo_tpu import config as cfgmod
+from plo_tpu.io import synthetic
+from plo_tpu.ops import normals, preprocess
+
+
+def preprocessed_scan(seed=0, azimuth_steps=720):
+    scans, _ = synthetic.synthetic_sequence(1, n_scans=64, azimuth_steps=azimuth_steps, seed=seed)
+    raw = scans[0]
+    P = 65536
+    pts = np.zeros((P, 4), np.float32)
+    n = min(len(raw), P)
+    pts[:n] = raw[:n]
+    return preprocess.preprocess(jnp.asarray(pts), n, cfgmod.SensorConfig(n_scans=64))
+
+
+def ground_mask(rc, res):
+    """Points on the synthetic ground plane (z ~ -1.7 in sensor frame)."""
+    v = np.asarray(res.cloud.valid)
+    z = np.asarray(rc.xyz)[:, 2]
+    return v & (np.abs(z + 1.7) < 0.05)
+
+
+def test_pca_normals_on_ground_plane():
+    rc = preprocessed_scan()
+    cfg = cfgmod.PCAConfig()
+    res = normals.compute_normals_pca(rc, cfg, use_all_points=True)
+    v = np.asarray(res.cloud.valid)
+    assert v.sum() > 1000
+    g = ground_mask(rc, res)
+    assert g.sum() > 500
+    nrm = np.asarray(res.cloud.normal)[g]
+    # Ground normals should be ~ +z (flipped into +z hemisphere).
+    frac_up = (nrm[:, 2] > 0.95).mean()
+    assert frac_up > 0.9
+    # All valid normals are unit and in the +z hemisphere.
+    nv = np.asarray(res.cloud.normal)[v]
+    np.testing.assert_allclose(np.linalg.norm(nv, axis=1), 1.0, atol=1e-4)
+    assert (nv[:, 2] >= -1e-6).all()
+
+
+def test_pca_eigvals_descending_and_planar():
+    rc = preprocessed_scan()
+    res = normals.compute_normals_pca(rc, cfgmod.PCAConfig(), use_all_points=True)
+    v = np.asarray(res.cloud.valid) & ~np.asarray(res.plane_fail)
+    ev = np.asarray(res.cloud.eigvals)[v]
+    assert (np.diff(ev, axis=1) <= 1e-5).all()
+    assert (ev[:, 0] >= -1e-9).all()
+
+
+def test_pca_index_mode_runs():
+    rc = preprocessed_scan()
+    cfg = cfgmod.PCAConfig(neighbor_scan="index")
+    res = normals.compute_normals_pca(rc, cfg, use_all_points=False)
+    assert int(res.cloud.valid.sum()) > 500
+
+
+def test_cross_product_normals():
+    rc = preprocessed_scan()
+    res = normals.compute_normals_cross_product(rc, cfgmod.CrossProductConfig(neighbor_scan="index"))
+    v = np.asarray(res.cloud.valid)
+    assert v.sum() > 1000
+    g = ground_mask(rc, res)
+    nrm = np.asarray(res.cloud.normal)[g]
+    assert (nrm[:, 2] > 0.9).mean() > 0.8
+
+
+def test_fals_normals_flat_world():
+    """A pure ground-plane world: FALS normals on the plane should be ~z."""
+    world = synthetic.SyntheticWorld(boxes=np.zeros((1, 6)) - 1000.0)  # no boxes
+    pose = np.eye(4)
+    pose[2, 3] = 1.7
+    raw = synthetic.render_scan(world, pose, n_scans=64, azimuth_steps=720, noise_std=0.0)
+    P = 65536
+    pts = np.zeros((P, 4), np.float32)
+    n = min(len(raw), P)
+    pts[:n] = raw[:n]
+    rc = preprocess.preprocess(jnp.asarray(pts), n, cfgmod.SensorConfig(n_scans=64))
+    W = 720
+    img, xyzg, relg, occ = preprocess.rasterize_range_image(rc, 64, W)
+    engine = normals.RangeImageNormals(64, W, fov_up_deg=2.0, fov_down_deg=-24.33, window_size=3)
+    nrm, ok = engine.fals(img)
+    ok_np = np.asarray(ok)
+    assert ok_np.sum() > 1000
+    n_ok = np.asarray(nrm)[ok_np]
+    # The reference's range image stores 2D range with its own spherical model;
+    # exact normals differ from geometric ones, but the dominant plane should
+    # still be detected as mostly-vertical normals.
+    assert np.isfinite(n_ok).all()
+    np.testing.assert_allclose(np.linalg.norm(n_ok, axis=1), 1.0, atol=1e-4)
+    assert (n_ok[:, 2] >= -1e-6).all()
+
+
+def test_sri_normals_run():
+    rc = preprocessed_scan()
+    W = 720
+    img, xyzg, relg, occ = preprocess.rasterize_range_image(rc, 64, W)
+    engine = normals.RangeImageNormals(64, W, fov_up_deg=2.0, fov_down_deg=-24.33, window_size=3)
+    nrm, ok = engine.sri(img)
+    ok_np = np.asarray(ok)
+    assert ok_np.sum() > 1000
+    n_ok = np.asarray(nrm)[ok_np]
+    assert np.isfinite(n_ok).all()
+    assert (n_ok[:, 2] >= -1e-6).all()

@@ -1,0 +1,103 @@
+"""End-to-end odometry integration tests on synthetic sequences
+(the golden-trajectory tests the reference never had — SURVEY.md §4)."""
+import numpy as np
+import pytest
+
+from plo_tpu import config as cfgmod
+from plo_tpu.io import synthetic
+from plo_tpu.models import Odometry
+from plo_tpu.utils import evaluate
+
+
+def rel_to_first(poses):
+    return np.einsum("ij,njk->nik", np.linalg.inv(poses[0]), poses)
+
+
+def run_sequence(cfg, n_frames=5, speed=0.5, yaw_rate=0.01, seed=3, world=None):
+    scans, gt = synthetic.synthetic_sequence(
+        n_frames, n_scans=64, azimuth_steps=900, speed=speed, yaw_rate=yaw_rate,
+        seed=seed, world=world)
+    odo = Odometry(cfg, capacity=65536, seed=0)
+    for s in scans:
+        odo.process_scan(s)
+    est = odo.poses()
+    return est, rel_to_first(gt), odo
+
+
+def base_config(**kw):
+    return cfgmod.Config(
+        scan_registration=cfgmod.ScanRegistrationConfig(
+            compute_normal_method=cfgmod.ComputeNormalConfig(format="pointcloud", method="pca"),
+            presample_method=cfgmod.PresampleConfig(method="geometric_features"),
+            sample_method=cfgmod.SampleConfig(
+                method="random", random=cfgmod.RandomSampleConfig(max_points=2000)),
+        ),
+        laser_odometry=cfgmod.LaserOdometryConfig(**kw),
+        sensor=cfgmod.SensorConfig(n_scans=64),
+    )
+
+
+def test_minimal_slice_plane_icp_ls():
+    """The SURVEY §7.2 minimum slice: pca -> geofeatures -> random ->
+    plane_ICP -> trimmed LS."""
+    cfg = base_config(
+        matching_method=cfgmod.MatchingConfig(method="plane_ICP"),
+        solve_method=cfgmod.SolveConfig(method="LS", iterations=30),
+    )
+    est, gt, odo = run_sequence(cfg)
+    ate = evaluate.ate_rmse(est, gt, align=False)
+    assert ate < 0.1, f"ATE {ate}"
+    # Convergence within the iteration budget.
+    assert all(f.iterations < 30 for f in odo.trajectory[1:])
+
+
+def test_imls_ls():
+    cfg = base_config(
+        matching_method=cfgmod.MatchingConfig(method="IMLS"),
+        solve_method=cfgmod.SolveConfig(method="LS", iterations=30),
+    )
+    est, gt, _ = run_sequence(cfg, n_frames=4)
+    ate = evaluate.ate_rmse(est, gt, align=False)
+    assert ate < 0.1, f"ATE {ate}"
+
+
+def test_imls_ransac_drpm():
+    """The BASELINE.json headline config: IMLS matching + RANSAC/DRPM solve.
+
+    Run on a structure-rich world: in a ground-plane-dominated scene DRPM
+    (faithfully to the reference math — verified against a float64 oracle)
+    flags the lateral directions as sub-noise and conservatively zeroes them,
+    so the ICP loop freezes; with enough wall structure all six directions are
+    observable and the full pipeline converges to mm-level ATE."""
+    world = synthetic.SyntheticWorld.corridor(seed=7, n_boxes=140, extent=60.0)
+    cfg = base_config(
+        matching_method=cfgmod.MatchingConfig(method="IMLS"),
+        solve_method=cfgmod.SolveConfig(
+            method="RANSAC", iterations=30,
+            ransac=cfgmod.RANSACConfig(max_iterations=300, distance_threshold=0.2,
+                                       final_solve_method="DRPM")),
+    )
+    est, gt, _ = run_sequence(cfg, n_frames=4, world=world)
+    ate = evaluate.ate_rmse(est, gt, align=False)
+    assert ate < 0.05, f"ATE {ate}"
+
+
+def test_rotation_recovered():
+    cfg = base_config(
+        matching_method=cfgmod.MatchingConfig(method="plane_ICP"),
+        solve_method=cfgmod.SolveConfig(method="LS", iterations=30),
+    )
+    est, gt, _ = run_sequence(cfg, n_frames=5, speed=0.3, yaw_rate=0.03)
+    terr, rerr = evaluate.rpe(est, gt)
+    assert terr < 0.05
+    assert rerr < 0.01
+
+
+def test_ate_utils():
+    n = 10
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    poses[:, 0, 3] = np.arange(n)
+    noisy = poses.copy()
+    noisy[:, 1, 3] += 0.1
+    assert evaluate.ate_rmse(noisy, poses, align=False) == pytest.approx(0.1, abs=1e-6)
+    assert evaluate.ate_rmse(noisy, poses, align=True) < 0.01

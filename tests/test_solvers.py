@@ -1,0 +1,190 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.stats import norm as scipy_norm
+
+from plo_tpu import geometry as geo
+from plo_tpu import solvers
+
+
+def planar_problem(rng, n=500, angle=0.01, trans=0.05, noise=0.0, n_outliers=0):
+    """Random correspondences consistent with a known small motion: ref points
+    are source points moved by (R, t) then 'observed' on planes with normals n."""
+    w = rng.normal(size=3)
+    w = w / np.linalg.norm(w) * angle
+    R = np.asarray(geo.exp_so3(jnp.asarray(w[None])))[0]
+    t = rng.normal(size=3)
+    t = t / np.linalg.norm(t) * trans
+
+    s = (rng.random((n, 3)) - 0.5) * 40
+    normals = rng.normal(size=(n, 3))
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    moved = s @ R.T + t
+    # Choose d so the plane constraint holds exactly: d = moved + noise in-plane
+    d = moved + noise * rng.normal(size=(n, 3)) * 0.01
+    if n_outliers:
+        out = rng.choice(n, n_outliers, replace=False)
+        d[out] += rng.normal(size=(n_outliers, 3)) * 5.0
+    valid = np.ones(n, bool)
+    return (s.astype(np.float32), d.astype(np.float32), normals.astype(np.float32),
+            valid, R, t)
+
+
+def check_transform(T, R, t, atol=1e-3):
+    T = np.asarray(T)
+    np.testing.assert_allclose(T[:3, :3], R, atol=atol)
+    np.testing.assert_allclose(T[:3, 3], t, atol=atol)
+
+
+def test_build_system_oracle(rng):
+    s, d, n, valid, _, _ = planar_problem(rng, n=50)
+    A, b = solvers.build_system(jnp.asarray(s), jnp.asarray(d), jnp.asarray(n), jnp.asarray(valid))
+    A = np.asarray(A)
+    i = 7
+    row = [n[i, 2] * s[i, 1] - n[i, 1] * s[i, 2],
+           n[i, 0] * s[i, 2] - n[i, 2] * s[i, 0],
+           n[i, 1] * s[i, 0] - n[i, 0] * s[i, 1],
+           n[i, 0], n[i, 1], n[i, 2]]
+    np.testing.assert_allclose(A[i], row, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b)[i], n[i] @ (d[i] - s[i]), atol=1e-5)
+
+
+def test_ls_trimmed_recovers_motion(rng):
+    s, d, n, valid, R, t = planar_problem(rng)
+    T, ok = solvers.solve_ls_trimmed(jnp.asarray(s), jnp.asarray(d), jnp.asarray(n),
+                                     jnp.asarray(valid), 0.02)
+    assert bool(ok)
+    check_transform(T, R, t)
+
+
+def test_ls_masked_rows_ignored(rng):
+    s, d, n, valid, R, t = planar_problem(rng)
+    # Corrupt half the correspondences but mask them out.
+    d2 = d.copy()
+    d2[250:] += 100.0
+    valid2 = valid.copy()
+    valid2[250:] = False
+    T, ok = solvers.solve_ls_trimmed(jnp.asarray(s), jnp.asarray(d2), jnp.asarray(n),
+                                     jnp.asarray(valid2), 0.02)
+    check_transform(T, R, t)
+
+
+def test_weighted_ls(rng):
+    s, d, n, valid, R, t = planar_problem(rng)
+    w = np.ones(len(s), np.float32) / len(s)
+    T, ok = solvers.solve_weighted_ls(jnp.asarray(s), jnp.asarray(d), jnp.asarray(n),
+                                      jnp.asarray(valid), jnp.asarray(w))
+    assert bool(ok)
+    check_transform(T, R, t)
+
+
+def test_gauss_newton_matches_ls_on_clean_problem(rng):
+    s, d, n, valid, R, t = planar_problem(rng, angle=0.05, trans=0.2)
+    T, ok = solvers.solve_gauss_newton(jnp.asarray(s), jnp.asarray(d), jnp.asarray(n),
+                                       jnp.asarray(valid), max_iterations=20)
+    assert bool(ok)
+    check_transform(T, R, t, atol=2e-3)
+
+
+def test_ransac_rejects_outliers(rng):
+    s, d, n, valid, R, t = planar_problem(rng, n=600, n_outliers=200)
+    key = jax.random.PRNGKey(0)
+    T, ok = solvers.solve_ransac(
+        jnp.asarray(s), jnp.asarray(d), jnp.asarray(n), jnp.asarray(valid), key,
+        max_iterations=200, distance_threshold=0.1, min_inliers_percentage=0.6,
+        huber_threshold=0.648, final_solve_method="LS", ls_threshold=0.02,
+        drpm_threshold=0.05, drpm_stdev_points=0.02, drpm_stdev_normals=0.05)
+    assert bool(ok)
+    check_transform(T, R, t, atol=5e-3)
+
+
+def test_ransac_drpm_final(rng):
+    s, d, n, valid, R, t = planar_problem(rng, n=400, n_outliers=50)
+    key = jax.random.PRNGKey(1)
+    T, ok = solvers.solve_ransac(
+        jnp.asarray(s), jnp.asarray(d), jnp.asarray(n), jnp.asarray(valid), key,
+        max_iterations=100, distance_threshold=0.2, min_inliers_percentage=0.8,
+        huber_threshold=0.648, final_solve_method="DRPM", ls_threshold=0.02,
+        drpm_threshold=0.05, drpm_stdev_points=0.02, drpm_stdev_normals=0.05)
+    assert bool(ok)
+    check_transform(T, R, t, atol=5e-3)
+
+
+def test_drpm_probabilities_oracle(rng):
+    """Non-degenerate, well-conditioned problems should yield p ~ 1 in every
+    direction; the CDF must match scipy's."""
+    s, d, n, valid, R, t = planar_problem(rng)
+    w = np.ones(len(s), np.float32) / len(s)
+    T, ok, probs = solvers.solve_drpm(jnp.asarray(s), jnp.asarray(d), jnp.asarray(n),
+                                      jnp.asarray(valid), jnp.asarray(w),
+                                      0.05, 0.02, 0.05)
+    assert bool(ok)
+    probs = np.asarray(probs)
+    assert probs.shape == (6,)
+    assert (probs > 0.99).all()
+    check_transform(T, R, t, atol=2e-3)
+
+
+def test_drpm_detects_degeneracy(rng):
+    """All normals parallel to z: translation in x/y is unobservable -> some
+    probabilities must collapse and the SNR solve path engages."""
+    n_pts = 400
+    s = (rng.random((n_pts, 3)) - 0.5) * 40
+    normals = np.tile(np.array([0.0, 0, 1.0], np.float32), (n_pts, 1))
+    t = np.array([0.0, 0.0, 0.05])
+    d = s + t
+    valid = np.ones(n_pts, bool)
+    w = np.ones(n_pts, np.float32) / n_pts
+    T, ok, probs = solvers.solve_drpm(jnp.asarray(s.astype(np.float32)), jnp.asarray(d.astype(np.float32)),
+                                      jnp.asarray(normals), jnp.asarray(valid), jnp.asarray(w),
+                                      0.05, 0.02, 0.05)
+    probs = np.asarray(probs)
+    assert probs.min() < 0.05  # degenerate directions detected
+    T = np.asarray(T)
+    # The observable component (z translation) must still be recovered.
+    np.testing.assert_allclose(T[2, 3], 0.05, atol=5e-3)
+    assert np.all(np.isfinite(T))
+
+
+def test_norm_cdf_matches_scipy():
+    x = np.linspace(-3, 3, 13)
+    got = np.asarray(jax.scipy.stats.norm.cdf(jnp.asarray(x), loc=0.5, scale=2.0))
+    np.testing.assert_allclose(got, scipy_norm.cdf(x, loc=0.5, scale=2.0), atol=1e-6)
+
+
+def test_umeyama_exact(rng):
+    s = rng.random((100, 3)).astype(np.float32) * 10
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    R = np.asarray(geo.rotation_from_quat(jnp.asarray(q)))
+    t = rng.normal(size=3)
+    d = s @ R.T + t
+    Rh, th = solvers.umeyama(jnp.asarray(s), jnp.asarray(d.astype(np.float32)),
+                             jnp.ones(100, jnp.float32))
+    np.testing.assert_allclose(np.asarray(Rh), R, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(th), t, atol=1e-3)
+
+
+def test_icp_point_to_point(rng):
+    s = rng.random((300, 3)).astype(np.float32) * 20
+    w = np.array([0.0, 0.0, 0.02])
+    R = np.asarray(geo.exp_so3(jnp.asarray(w[None])))[0]
+    t = np.array([0.1, -0.05, 0.02])
+    d = (s @ R.T + t).astype(np.float32)
+    T, ok = solvers.solve_icp_point_to_point(jnp.asarray(s), jnp.asarray(d),
+                                             jnp.ones(300, bool), max_iterations=10)
+    assert bool(ok)
+    check_transform(T, R, t, atol=1e-2)
+
+
+def test_gnc_tls_robust(rng):
+    s = rng.random((300, 3)).astype(np.float32) * 20
+    w = np.array([0.0, 0.0, 0.05])
+    R = np.asarray(geo.exp_so3(jnp.asarray(w[None])))[0]
+    t = np.array([0.3, -0.1, 0.05])
+    d = (s @ R.T + t)
+    d[:60] += rng.normal(size=(60, 3)) * 3.0  # 20% outliers
+    T, ok = solvers.solve_gnc_tls(jnp.asarray(s), jnp.asarray(d.astype(np.float32)),
+                                  jnp.ones(300, bool), noise_bound=0.05)
+    assert bool(ok)
+    check_transform(T, R, t, atol=2e-2)
