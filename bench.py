@@ -44,13 +44,15 @@ def main():
         n_warm + n_bench, n_scans=64, azimuth_steps=900, speed=0.5, yaw_rate=0.005,
         seed=11, world=world)
 
-    odo = Odometry(cfg, capacity=65536, seed=0)
+    odo = Odometry(cfg, capacity=65536, seed=0, async_mode=True)
     for s in scans[:n_warm]:
         odo.process_scan(s)
+    odo.finalize()
 
     t0 = time.perf_counter()
     for s in scans[n_warm:]:
         odo.process_scan(s)
+    odo.finalize()
     dt = time.perf_counter() - t0
 
     scans_per_sec = n_bench / dt

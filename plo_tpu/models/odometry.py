@@ -58,12 +58,23 @@ def _make_icp_step(cfg: Config):
 
     imls_cfg = mm.imls
     picp_cfg = mm.plane_icp
+    use_tensor_voting = (matching_method == "IMLS"
+                         and not imls_cfg.get_normals.enabled
+                         and imls_cfg.use_tensor_voting.enabled)
     use_precomputed_normals = (matching_method == "IMLS"
-                               and not imls_cfg.get_normals.enabled
-                               and not imls_cfg.use_tensor_voting.enabled)
+                               and not imls_cfg.get_normals.enabled)
 
     def match(src: PointCloud, tgt: PointCloud, tgt_normal, tgt_normal_ok):
         if matching_method == "IMLS":
+            if use_tensor_voting:
+                from plo_tpu.ops import tensor_voting as tv_ops
+                # VoteForAny from the target model onto the transformed source
+                # (imls_icp.cpp:514-551) supplies per-source anchor normals.
+                anchor_n, anchor_ok = tv_ops.vote_for_any(
+                    tgt.xyz, tgt.valid, tgt.normal, src.xyz, src.valid,
+                    imls_cfg.use_tensor_voting)
+                return matching.imls_project(src, tgt, imls_cfg, tgt_normal,
+                                             tgt_normal_ok, anchor_n, anchor_ok)
             return matching.imls_project(src, tgt, imls_cfg, tgt_normal, tgt_normal_ok)
         elif matching_method == "plane_ICP":
             return matching.plane_icp_project(src, tgt, picp_cfg)
@@ -137,9 +148,21 @@ def _make_icp_step(cfg: Config):
 
 
 class Odometry:
-    """Full odometry engine: front-end + back-end + host-side pose chain."""
+    """Full odometry engine: front-end + back-end + host-side pose chain.
 
-    def __init__(self, cfg: Config, capacity: int = 131072, seed: int = 0):
+    Two execution modes:
+      * sync (default): `process_scan` returns a fully materialized
+        OdometryFrame per scan (one fused device->host fetch per frame).
+      * async_mode=True: `process_scan` only enqueues device work and records
+        device references — nothing blocks. Call `finalize()` once at the end
+        to fetch all relative poses in a single transfer and integrate the
+        trajectory in float64 on host. This is the fast path when the device
+        link has high per-transfer latency (remote TPU tunnels) and mirrors
+        the reference's front-end/back-end pipelining (SURVEY.md §2.3 P1).
+    """
+
+    def __init__(self, cfg: Config, capacity: int = 131072, seed: int = 0,
+                 async_mode: bool = False, sync_every: int = 64):
         self.cfg = cfg
         self.frontend = FrontEnd(cfg, capacity=capacity)
         self.icp_step = _make_icp_step(cfg)
@@ -149,6 +172,9 @@ class Odometry:
         self.cloud_queue: Deque[PointCloud] = deque()
         self.last_filtered: Optional[PointCloud] = None
         self.trajectory: List[OdometryFrame] = []
+        self.async_mode = async_mode
+        self.sync_every = sync_every
+        self._pending = []  # (index, rel_pose_dev, iters_dev, ncorr_dev, stats_dev)
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -163,39 +189,62 @@ class Odometry:
             acc = acc.concat(c)
         return acc
 
-    def process_scan(self, raw_pts: np.ndarray) -> OdometryFrame:
+    def process_scan(self, raw_pts: np.ndarray) -> Optional[OdometryFrame]:
         fe: FrontEndOutput = self.frontend.process(
             raw_pts, self._next_key(), self.last_filtered,
             first_frame=(self.frame_count == 0))
 
-        rel = np.eye(4)
-        iters, n_corr = 0, 0
         if self.frame_count > 0:
             target = self._accumulated_target()
             rpose, i, nc, converged = self.icp_step(fe.flat, target, self._next_key())
-            rel = np.asarray(rpose, np.float64)
-            iters, n_corr = int(i), int(nc)
+        else:
+            rpose = jnp.eye(4, dtype=jnp.float32)
+            i = nc = jnp.asarray(0, jnp.int32)
 
-        pose = self.prev_pose @ rel  # nowPose = prevLaserPose * rPose (:652)
-        self.prev_pose = pose
+        index = self.frame_count
+        self._pending.append((index, rpose, i, nc, fe.stats))
 
         # Model update (max_queue_size window of filtered clouds).
         self.cloud_queue.append(fe.filtered)
         while len(self.cloud_queue) > self.cfg.laser_odometry.max_queue_size:
             self.cloud_queue.popleft()
         self.last_filtered = fe.filtered
-
-        frame = OdometryFrame(
-            index=self.frame_count,
-            pose=pose,
-            rel_pose=rel,
-            iterations=iters,
-            n_correspondences=n_corr,
-            stats={k: float(v) for k, v in fe.stats.items()},
-        )
-        self.trajectory.append(frame)
         self.frame_count += 1
-        return frame
+
+        if self.async_mode:
+            # Bound the dispatch queue without a host round trip.
+            if len(self._pending) >= self.sync_every:
+                self._drain()
+            return None
+        self._drain()
+        return self.trajectory[-1]
+
+    def _drain(self):
+        """Fetch every pending frame's results in ONE device->host transfer
+        (each separate fetch pays a full RTT on remote-device links) and
+        integrate poses in float64 (nowPose = prevLaserPose * rPose, :652)."""
+        if not self._pending:
+            return
+        idxs = [p[0] for p in self._pending]
+        rels, iters, ncorrs, stats = jax.device_get(
+            ([p[1] for p in self._pending], [p[2] for p in self._pending],
+             [p[3] for p in self._pending], [p[4] for p in self._pending]))
+        self._pending.clear()
+        for j, index in enumerate(idxs):
+            rel = np.asarray(rels[j], np.float64)
+            pose = self.prev_pose @ rel
+            self.prev_pose = pose
+            self.trajectory.append(OdometryFrame(
+                index=index, pose=pose, rel_pose=rel,
+                iterations=int(iters[j]), n_correspondences=int(ncorrs[j]),
+                stats={k: float(v) for k, v in stats[j].items()},
+            ))
+
+    def finalize(self) -> List[OdometryFrame]:
+        """Drain all pending async frames; returns the full trajectory."""
+        self._drain()
+        return self.trajectory
 
     def poses(self) -> np.ndarray:
+        self._drain()
         return np.stack([f.pose for f in self.trajectory])

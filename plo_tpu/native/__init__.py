@@ -1,0 +1,110 @@
+"""Native runtime components (C++ via ctypes, NumPy fallback).
+
+Builds `libploloader.so` on first use with g++ -O3 (toolchain baked into the
+image; no pip deps). If the toolchain is unavailable the pure-NumPy fallback
+keeps everything working.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "loader.cpp")
+_LIB = os.path.join(os.path.dirname(__file__), "libploloader.so")
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _ensure_built() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    try:
+        if (not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+                 _SRC, "-o", _LIB],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_LIB)
+        lib.plo_load_bin.restype = ctypes.c_int64
+        lib.plo_load_bin.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        lib.plo_prefetcher_create.restype = ctypes.c_void_p
+        lib.plo_prefetcher_create.argtypes = [ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64]
+        lib.plo_prefetcher_next.restype = ctypes.c_int64
+        lib.plo_prefetcher_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+        lib.plo_prefetcher_destroy.restype = None
+        lib.plo_prefetcher_destroy.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    except Exception:
+        _build_failed = True
+    return _lib
+
+
+def available() -> bool:
+    return _ensure_built() is not None
+
+
+def load_bin_padded(path: str, capacity: int) -> tuple[np.ndarray, int]:
+    """Load one KITTI .bin into a zero-padded [capacity, 4] float32 array.
+    Returns (array, n_points)."""
+    lib = _ensure_built()
+    out = np.zeros((capacity, 4), np.float32)
+    if lib is not None:
+        n = lib.plo_load_bin(path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                             capacity)
+        if n >= 0:
+            return out, int(n)
+    data = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+    n = min(len(data), capacity)
+    out[:n] = data[:n]
+    return out, n
+
+
+class ScanPrefetcher:
+    """Double-buffered background scan loader: the next scan is read + padded
+    on a native thread while the current one is on-device."""
+
+    def __init__(self, paths: List[str], capacity: int):
+        self.paths = list(paths)
+        self.capacity = capacity
+        self._i = 0
+        lib = _ensure_built()
+        self._lib = lib
+        self._handle = None
+        if lib is not None:
+            arr = (ctypes.c_char_p * len(self.paths))(*[p.encode() for p in self.paths])
+            self._keepalive = arr
+            self._handle = lib.plo_prefetcher_create(arr, len(self.paths), capacity)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._handle is not None:
+            out = np.zeros((self.capacity, 4), np.float32)
+            n = self._lib.plo_prefetcher_next(
+                self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            if n == -2:
+                raise StopIteration
+            return out, int(n)
+        if self._i >= len(self.paths):
+            raise StopIteration
+        out, n = load_bin_padded(self.paths[self._i], self.capacity)
+        self._i += 1
+        return out, n
+
+    def close(self):
+        if self._handle is not None:
+            self._lib.plo_prefetcher_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

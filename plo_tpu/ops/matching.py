@@ -146,10 +146,12 @@ def plane_icp_project(source: PointCloud, target: PointCloud, cfg: PlaneICPConfi
     )
 
 
-@partial(jax.jit, static_argnames=("k", "use_projected", "angle_enabled"))
+@partial(jax.jit, static_argnames=("k", "use_projected", "angle_enabled", "use_anchor_override"))
 def _imls_impl(src_xyz, src_normal, src_valid, tgt_xyz, tgt_normal, tgt_normal_ok,
-               tgt_valid, h: float, r: float, r_proj: float, angle_threshold: float,
-               k: int, use_projected: bool, angle_enabled: bool) -> MatchResult:
+               tgt_valid, anchor_normal_src, anchor_ok_src,
+               h: float, r: float, r_proj: float, angle_threshold: float,
+               k: int, use_projected: bool, angle_enabled: bool,
+               use_anchor_override: bool) -> MatchResult:
     cap = tgt_xyz.shape[0]
 
     # ---- anchor search (imls_icp.cpp:563-610) ----
@@ -163,8 +165,15 @@ def _imls_impl(src_xyz, src_normal, src_valid, tgt_xyz, tgt_normal, tgt_normal_o
 
     aidx_c = jnp.clip(aidx, 0, cap - 1)
     anchor_near = min_dist <= h * h  # :620-625
-    n_anchor = tgt_normal[aidx_c]
-    anchor_normal_ok = tgt_normal_ok[aidx_c] & jnp.all(jnp.isfinite(n_anchor), axis=-1)
+    if use_anchor_override:
+        # Tensor-voting mode: the anchor normal is the SOURCE point's voted
+        # normal (tensorVotingNormalsMap keyed by the source point,
+        # imls_icp.cpp:634-644) — a reference quirk kept as-is.
+        n_anchor = anchor_normal_src
+        anchor_normal_ok = anchor_ok_src & jnp.all(jnp.isfinite(n_anchor), axis=-1)
+    else:
+        n_anchor = tgt_normal[aidx_c]
+        anchor_normal_ok = tgt_normal_ok[aidx_c] & jnp.all(jnp.isfinite(n_anchor), axis=-1)
     if angle_enabled:
         anchor_angle_ok = _angle_deg(src_normal, n_anchor) <= angle_threshold
     else:
@@ -225,20 +234,28 @@ def _imls_impl(src_xyz, src_normal, src_valid, tgt_xyz, tgt_normal, tgt_normal_o
 
 
 def imls_project(source: PointCloud, target: PointCloud, cfg: IMLSConfig,
-                 target_normal=None, target_normal_ok=None) -> MatchResult:
+                 target_normal=None, target_normal_ok=None,
+                 anchor_normal_src=None, anchor_ok_src=None) -> MatchResult:
     """ProjSourcePtToSurface (imls_icp.cpp:496-745): y = x - I(x) n.
 
     `target_normal`/`target_normal_ok` override the target cloud's stored
-    normals (used for the get_normals=false precomputed path and the
+    normals (used for the get_normals=false precomputed path);
+    `anchor_normal_src`/`anchor_ok_src` supply per-SOURCE anchor normals (the
     tensor-voting path)."""
     tn = target.normal if target_normal is None else target_normal
     tok = target.valid if target_normal_ok is None else (target.valid & target_normal_ok)
+    use_override = anchor_normal_src is not None
+    if not use_override:
+        anchor_normal_src = source.normal
+        anchor_ok_src = source.valid
     return _imls_impl(
         source.xyz, source.normal, source.valid,
         target.xyz, tn, tok, target.valid,
+        anchor_normal_src, anchor_ok_src,
         cfg.h, cfg.r, cfg.use_projected_distance.r_proj,
         cfg.normal_angle_constraint.angle_diff_threshold,
         cfg.search_number,
         cfg.use_projected_distance.enabled,
         cfg.normal_angle_constraint.enabled,
+        use_override,
     )

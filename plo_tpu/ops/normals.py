@@ -269,7 +269,6 @@ def fals_m_inv(height: int, width: int, window_size: int,
 def _shifted(x: jnp.ndarray, di: int, dj: int, fill) -> jnp.ndarray:
     """x shifted so out[r, c] = x[r+di, c+dj] (out-of-bounds -> fill)."""
     h, w = x.shape[:2]
-    pad = [(max(0, -di) + max(0, di),) * 1]
     out = jnp.full_like(x, fill)
     r0, r1 = max(0, -di), min(h, h - di)
     c0, c1 = max(0, -dj), min(w, w - dj)

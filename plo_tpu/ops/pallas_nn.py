@@ -1,0 +1,183 @@
+"""Pallas TPU kernels for the anchor searches — the hottest single op of the
+back-end (SURVEY.md §3.4: the k=1 anchor scan runs per source point per ICP
+iteration).
+
+Design: queries are processed in blocks of BQ (grid dim 0); the target cloud
+streams through VMEM in BT-wide tiles via an inner fori_loop. Distances are
+computed coordinate-wise on the VPU ([BQ, BT] tiles; the matmul trick is
+deliberately avoided — see ops/neighbors._pairwise_d2 for the f32
+cancellation analysis) and a running (min, argmin) pair lives in VMEM
+scratch. One pass over the target per query block, no [Q, T] materialization,
+no top-k sort — this is the memory-bound speed-of-light shape for the op:
+read T once per query block.
+
+Layout notes: target coordinates are passed transposed [3, T] so the point
+dimension is the 128-lane axis; T is padded to a BT multiple with +inf
+sentinels by the host wrapper.
+
+The public wrappers return exactly `ops.neighbors.nearest` /
+`projected_argmin` semantics and are validated against them in tests (CPU via
+interpret mode, TPU natively).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BQ = 1024  # query block (f32 1-D outputs tile at 1024 on TPU)
+BT = 1024  # target tile (lane-friendly multiple of 128)
+
+
+def _nearest_kernel(q_ref, t_ref, o_d2_ref, o_idx_ref):
+    """q_ref: [3, BQ] query block; t_ref: [3, T] full target (ANY/HBM-resident,
+    sliced per tile); outputs [BQ] best d2 / index."""
+    n_tiles = t_ref.shape[1] // BT
+
+    qx = q_ref[0, :].reshape(BQ, 1)
+    qy = q_ref[1, :].reshape(BQ, 1)
+    qz = q_ref[2, :].reshape(BQ, 1)
+
+    def body(i, carry):
+        best_d2, best_idx = carry
+        base = i * BT
+        tx = t_ref[0, pl.ds(base, BT)].reshape(1, BT)
+        ty = t_ref[1, pl.ds(base, BT)].reshape(1, BT)
+        tz = t_ref[2, pl.ds(base, BT)].reshape(1, BT)
+        dx = qx - tx
+        dy = qy - ty
+        dz = qz - tz
+        d2 = dx * dx + dy * dy + dz * dz  # inf coords of padding -> inf/nan
+        d2 = jnp.where(jnp.isfinite(d2), d2, jnp.inf)
+        tile_min = jnp.min(d2, axis=1)
+        tile_arg = base + jnp.argmin(d2, axis=1).astype(jnp.int32)
+        take = tile_min < best_d2
+        return (jnp.where(take, tile_min, best_d2),
+                jnp.where(take, tile_arg, best_idx))
+
+    init = (jnp.full((BQ,), jnp.inf, jnp.float32), jnp.full((BQ,), -1, jnp.int32))
+    best_d2, best_idx = jax.lax.fori_loop(0, n_tiles, body, init)
+    o_d2_ref[:] = best_d2
+    o_idx_ref[:] = best_idx
+
+
+def _projected_kernel(q_ref, n_ref, t_ref, o_p2_ref, o_idx_ref, *, euclid_gate2, proj_gate2):
+    n_tiles = t_ref.shape[1] // BT
+    qx = q_ref[0, :].reshape(BQ, 1)
+    qy = q_ref[1, :].reshape(BQ, 1)
+    qz = q_ref[2, :].reshape(BQ, 1)
+    nx = n_ref[0, :].reshape(BQ, 1)
+    ny = n_ref[1, :].reshape(BQ, 1)
+    nz = n_ref[2, :].reshape(BQ, 1)
+
+    def body(i, carry):
+        best_p2, best_idx = carry
+        base = i * BT
+        dx = t_ref[0, pl.ds(base, BT)].reshape(1, BT) - qx
+        dy = t_ref[1, pl.ds(base, BT)].reshape(1, BT) - qy
+        dz = t_ref[2, pl.ds(base, BT)].reshape(1, BT) - qz
+        cx = dy * nz - dz * ny
+        cy = dz * nx - dx * nz
+        cz = dx * ny - dy * nx
+        p2 = cx * cx + cy * cy + cz * cz
+        d2 = dx * dx + dy * dy + dz * dz
+        ok = (d2 < euclid_gate2) & (p2 < proj_gate2)
+        p2 = jnp.where(ok & jnp.isfinite(p2), p2, jnp.inf)
+        tile_min = jnp.min(p2, axis=1)
+        tile_arg = base + jnp.argmin(p2, axis=1).astype(jnp.int32)
+        take = tile_min < best_p2
+        return (jnp.where(take, tile_min, best_p2),
+                jnp.where(take, tile_arg, best_idx))
+
+    init = (jnp.full((BQ,), jnp.inf, jnp.float32), jnp.full((BQ,), -1, jnp.int32))
+    best_p2, best_idx = jax.lax.fori_loop(0, n_tiles, body, init)
+    o_p2_ref[:] = best_p2
+    o_idx_ref[:] = best_idx
+
+
+def _prep(query, target, target_valid):
+    """Pad query to BQ multiple and target to BT multiple; invalid/padded
+    target points become +inf coordinates (never win the argmin)."""
+    q = query.shape[0]
+    t = target.shape[0]
+    qp = (-q) % BQ
+    tp = (-t) % BT
+    query_p = jnp.pad(query, ((0, qp), (0, 0)))
+    target_p = jnp.where(target_valid[:, None], target, jnp.inf)
+    target_p = jnp.pad(target_p, ((0, tp), (0, 0)), constant_values=jnp.inf)
+    return query_p.T, target_p.T, q, t  # [3, Qp], [3, Tp]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def nearest(query: jnp.ndarray, target: jnp.ndarray, target_valid: jnp.ndarray,
+            radius: float | jnp.ndarray = jnp.inf,
+            interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Drop-in Pallas replacement for ops.neighbors.nearest."""
+    qT, tT, q, t = _prep(query, target, target_valid)
+    n_q_blocks = qT.shape[1] // BQ
+
+    d2, idx = pl.pallas_call(
+        _nearest_kernel,
+        grid=(n_q_blocks,),
+        in_specs=[
+            pl.BlockSpec((3, BQ), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tT.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BQ,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BQ,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_q_blocks * BQ,), jnp.float32),
+            jax.ShapeDtypeStruct((n_q_blocks * BQ,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qT, tT)
+    d2 = d2.reshape(-1)[:q]
+    idx = idx.reshape(-1)[:q]
+    valid = (idx >= 0) & (d2 <= jnp.asarray(radius, jnp.float32) ** 2)
+    return d2, idx, valid
+
+
+@partial(jax.jit, static_argnames=("euclid_gate", "proj_gate", "interpret"))
+def projected_argmin(query: jnp.ndarray, query_normal: jnp.ndarray,
+                     target: jnp.ndarray, target_valid: jnp.ndarray,
+                     euclid_gate: float, proj_gate: float,
+                     interpret: bool = False):
+    """Drop-in Pallas replacement for ops.neighbors.projected_argmin.
+    Returns (proj [Q], idx [Q], valid [Q])."""
+    qT, tT, q, t = _prep(query, target, target_valid)
+    nq = query_normal.shape[0]
+    nT = jnp.pad(query_normal, ((0, (-nq) % BQ), (0, 0))).T
+    n_q_blocks = qT.shape[1] // BQ
+
+    kernel = partial(_projected_kernel,
+                     euclid_gate2=float(euclid_gate) ** 2,
+                     proj_gate2=float(proj_gate) ** 2)
+    p2, idx = pl.pallas_call(
+        kernel,
+        grid=(n_q_blocks,),
+        in_specs=[
+            pl.BlockSpec((3, BQ), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BQ), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tT.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BQ,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BQ,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_q_blocks * BQ,), jnp.float32),
+            jax.ShapeDtypeStruct((n_q_blocks * BQ,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qT, nT, tT)
+    p2 = p2.reshape(-1)[:q]
+    idx = idx.reshape(-1)[:q]
+    valid = (idx >= 0) & jnp.isfinite(p2)
+    return jnp.sqrt(jnp.where(valid, p2, jnp.inf)), idx, valid

@@ -1,0 +1,133 @@
+"""Sharded map / keyframe store with distributed correspondence search.
+
+New component (SURVEY.md §2.3): the reference's target model is a single
+concatenated cloud on one process (accumulateTargetCloud,
+laser_odometry.cpp:116-136). At scale the map shards across the mesh: each
+device owns the points whose spatial hash lands on it, queries are replicated
+(one all-gather-sized broadcast), every device searches only its shard, and
+the per-device candidates are merged with a cross-device top-k — so the
+O(Q*T) work divides by the mesh size while each merged result is exactly the
+global k-NN.
+
+Layout: [D, M, ...] arrays (device-major), sharded on axis 0. Point-to-shard
+assignment uses a voxel hash (points in the same voxel land on the same
+device, keeping future halo-exchange locality), with per-shard capacity M and
+overflow dropped oldest-first.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from plo_tpu.cloud import PointCloud
+from plo_tpu.ops import neighbors
+
+
+def voxel_shard_id(xyz: jnp.ndarray, n_shards: int, voxel: float = 4.0) -> jnp.ndarray:
+    """Spatial-hash shard assignment: points of one voxel co-locate."""
+    v = jnp.floor(xyz / voxel).astype(jnp.int32)
+    h = (v[..., 0] * 73856093) ^ (v[..., 1] * 19349663) ^ (v[..., 2] * 83492791)
+    return jnp.abs(h) % n_shards
+
+
+@partial(jax.jit, static_argnames=("n_shards", "per_shard"))
+def partition_cloud(cloud: PointCloud, n_shards: int, per_shard: int,
+                    voxel: float = 4.0):
+    """Repartition a padded cloud into [D, M] shard-major layout.
+
+    Returns a PointCloud whose leading dim is D*M, ordered shard-major, plus
+    the per-shard counts [D]. Overflowing points are dropped."""
+    shard = jnp.where(cloud.valid, voxel_shard_id(cloud.xyz, n_shards, voxel), n_shards)
+    order = jnp.argsort(shard, stable=True)
+    counts = jnp.bincount(shard, length=n_shards + 1)[:n_shards]
+    starts = jnp.concatenate([jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]])
+
+    # Destination slot of each sorted point: shard_id * per_shard + rank.
+    sorted_shard = shard[order]
+    rank = jnp.arange(cloud.capacity) - starts[jnp.clip(sorted_shard, 0, n_shards - 1)]
+    ok = (sorted_shard < n_shards) & (rank < per_shard)
+    dest = jnp.where(ok, sorted_shard * per_shard + rank, n_shards * per_shard)
+
+    def scatter(x, fill=0.0):
+        out_shape = (n_shards * per_shard + 1,) + x.shape[1:]
+        out = jnp.full(out_shape, fill, x.dtype)
+        return out.at[dest].set(x[order])[:-1]
+
+    out = PointCloud(
+        xyz=scatter(cloud.xyz),
+        normal=scatter(cloud.normal),
+        intensity=scatter(cloud.intensity),
+        curvature=scatter(cloud.curvature),
+        eigvals=scatter(cloud.eigvals),
+        valid=scatter(cloud.valid, fill=False),
+    )
+    return out, jnp.minimum(counts, per_shard)
+
+
+class ShardedMapStore:
+    """Device-sharded target model + distributed k-NN."""
+
+    def __init__(self, mesh: Mesh, per_shard: int, voxel: float = 4.0,
+                 axis_name: str = "points"):
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.n_shards = int(mesh.devices.size)
+        self.per_shard = per_shard
+        self.voxel = voxel
+        self.cloud: PointCloud | None = None  # [D*M] shard-major
+        self._shard_spec = NamedSharding(mesh, P(axis_name))
+        self._repl = NamedSharding(mesh, P())
+
+    def set_model(self, cloud: PointCloud):
+        """Partition + place the model cloud (replaces accumulateTargetCloud)."""
+        part, counts = partition_cloud(cloud, self.n_shards, self.per_shard, self.voxel)
+        self.cloud = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, self._shard_spec), part)
+        return counts
+
+    @partial(jax.jit, static_argnames=("self", "k"))
+    def _query(self, query_xyz: jnp.ndarray, k: int):
+        from jax import shard_map
+
+        cloud = self.cloud
+        d, m = self.n_shards, self.per_shard
+
+        def local(q, xyz_s, valid_s):
+            # Each device: exact kNN against its own shard.
+            d2, idx, ok = neighbors.knn(q, xyz_s, valid_s, k=k,
+                                        chunk=min(8192, m))
+            rank = jax.lax.axis_index(self.axis_name)
+            gidx = jnp.where(ok, rank * m + idx, -1)
+            # Merge across devices: gather all shards' candidates, re-top-k.
+            all_d2 = jax.lax.all_gather(d2, self.axis_name)    # [D, Q, k]
+            all_gi = jax.lax.all_gather(gidx, self.axis_name)
+            qn = q.shape[0]
+            cat_d2 = jnp.moveaxis(all_d2, 0, 1).reshape(qn, d * k)
+            cat_gi = jnp.moveaxis(all_gi, 0, 1).reshape(qn, d * k)
+            neg, pos = jax.lax.top_k(-cat_d2, k)
+            return -neg, jnp.take_along_axis(cat_gi, pos, axis=1)
+
+        fn = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(), P(self.axis_name), P(self.axis_name)),
+            out_specs=(P(), P()),
+            # The knn scan carries start unvarying and become varying over the
+            # shard axis; skip the varying-manual-axes check.
+            check_vma=False,
+        )
+        return fn(query_xyz, cloud.xyz, cloud.valid)
+
+    def knn(self, query_xyz, k: int, radius: float = np.inf):
+        """Global-exact k-NN against the sharded model.
+        Returns (d2 [Q, k], global idx [Q, k] into the shard-major cloud,
+        valid [Q, k])."""
+        q = jax.device_put(query_xyz, self._repl)
+        d2, gidx = self._query(q, k)
+        valid = (gidx >= 0) & (d2 <= radius**2) & jnp.isfinite(d2)
+        return d2, gidx, valid

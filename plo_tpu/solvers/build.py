@@ -33,13 +33,16 @@ def build_system(source: jnp.ndarray, ref: jnp.ndarray, normal: jnp.ndarray,
 
 
 @jax.jit
-def masked_lstsq(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Least-squares solve of a (row-masked) tall system via QR — avoids the
-    condition-number squaring of normal equations in f32. Mirrors the
-    reference's colPivHouseholderQr solve on [N, 6] (solver.cpp:107)."""
-    q, r = jnp.linalg.qr(A)
-    rhs = q.T @ b
-    return jax.scipy.linalg.solve_triangular(r + 1e-12 * jnp.eye(r.shape[0], dtype=r.dtype), rhs, lower=False)
+def masked_lstsq(A: jnp.ndarray, b: jnp.ndarray, rcond: float = 1e-6) -> jnp.ndarray:
+    """Least-squares solve of a (row-masked) tall system via SVD pseudo-inverse
+    with a singular-value cutoff — avoids the condition-number squaring of
+    normal equations in f32 AND stays finite on rank-deficient systems
+    (degenerate geometry zeroes the unobservable components, the effective
+    behavior of the reference's pivoted-QR solve on [N, 6], solver.cpp:107)."""
+    u, s, vt = jnp.linalg.svd(A, full_matrices=False)
+    cutoff = rcond * jnp.max(s)
+    s_inv = jnp.where(s > cutoff, 1.0 / jnp.maximum(s, 1e-30), 0.0)
+    return vt.T @ (s_inv * (u.T @ b))
 
 
 def se3_from_x(x: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,110 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4d):
+sharded ICP step vs single-device equivalence, windowed BA convergence and
+1-vs-8-device equivalence."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from plo_tpu import config as cfgmod, geometry as geo
+from plo_tpu.cloud import PointCloud
+from plo_tpu.parallel import ba, get_mesh, make_sharded_icp_step
+from plo_tpu.models.odometry import _make_icp_step
+
+
+def _cfg():
+    return cfgmod.Config(
+        laser_odometry=cfgmod.LaserOdometryConfig(
+            matching_method=cfgmod.MatchingConfig(method="plane_ICP"),
+            solve_method=cfgmod.SolveConfig(method="LS", iterations=5),
+        ),
+    )
+
+
+def _clouds(rng, n_src=256, n_tgt=2048):
+    def mk(n, h):
+        xyz = np.zeros((n, 3), np.float32)
+        xyz[:, :2] = (rng.random((n, 2)) - 0.5) * 30
+        xyz[:, 2] = h
+        c = PointCloud.from_xyz(jnp.asarray(xyz))
+        return dataclasses.replace(
+            c, normal=jnp.asarray(np.tile(np.array([0, 0, 1.0], np.float32), (n, 1))))
+    return mk(n_src, 0.05), mk(n_tgt, 0.0)
+
+
+def test_mesh_has_8_devices():
+    mesh = get_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_icp_matches_single_device(rng):
+    cfg = _cfg()
+    flat, target = _clouds(rng)
+    key = jax.random.PRNGKey(0)
+
+    single = _make_icp_step(cfg)
+    r1, i1, c1, _ = single(flat, target, key)
+
+    mesh = get_mesh(8)
+    stepped = make_sharded_icp_step(cfg, mesh)
+    r8, i8, c8, _ = stepped(flat, target, key)
+
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r8), atol=1e-4)
+    assert int(c1) == int(c8)
+
+
+def _ba_problem(rng, k=4, n=512, noise=0.02):
+    """K ground-truth poses along a line; correspondences between consecutive
+    frames from a synthetic surfel field; initial poses perturbed."""
+    gt = []
+    for i in range(k):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.5 * i, 0.01 * i, 0.0]
+        gt.append(T)
+    gt = np.stack(gt)
+
+    src = np.zeros((k - 1, n, 3), np.float32)
+    ref = np.zeros((k - 1, n, 3), np.float32)
+    nrm = np.zeros((k - 1, n, 3), np.float32)
+    val = np.ones((k - 1, n), bool)
+    for i in range(k - 1):
+        pts_w = (rng.random((n, 3)).astype(np.float32) - 0.5) * 20  # world points
+        normals_w = rng.normal(size=(n, 3)).astype(np.float32)
+        normals_w /= np.linalg.norm(normals_w, axis=1, keepdims=True)
+        Ti, Tj = gt[i], gt[i + 1]
+        ref[i] = (pts_w - Ti[:3, 3]) @ Ti[:3, :3]   # frame-i coords
+        src[i] = (pts_w - Tj[:3, 3]) @ Tj[:3, :3]   # frame-j coords
+        nrm[i] = normals_w @ Ti[:3, :3]
+
+    init = gt.copy()
+    for i in range(1, k):
+        w = rng.normal(size=3).astype(np.float32) * noise
+        t = rng.normal(size=3).astype(np.float32) * noise
+        dR = np.asarray(geo.exp_so3(jnp.asarray(w[None])))[0]
+        init[i] = init[i] @ np.asarray(geo.make_se3(jnp.asarray(dR), jnp.asarray(t)))
+    return gt, init.astype(np.float32), src, ref, nrm, val
+
+
+def test_ba_refines_window(rng):
+    gt, init, src, ref, nrm, val = _ba_problem(rng)
+    refined = ba.refine_window(jnp.asarray(init), jnp.asarray(src), jnp.asarray(ref),
+                               jnp.asarray(nrm), jnp.asarray(val),
+                               k_window=4, iterations=8)
+    refined = np.asarray(refined)
+    err_before = np.linalg.norm(init[:, :3, 3] - gt[:, :3, 3])
+    err_after = np.linalg.norm(refined[:, :3, 3] - gt[:, :3, 3])
+    assert err_after < err_before * 0.05
+    assert err_after < 1e-3
+
+
+def test_ba_distributed_matches_single(rng):
+    gt, init, src, ref, nrm, val = _ba_problem(rng)
+    single = ba.refine_window(jnp.asarray(init), jnp.asarray(src), jnp.asarray(ref),
+                              jnp.asarray(nrm), jnp.asarray(val),
+                              k_window=4, iterations=5)
+    mesh = get_mesh(8)
+    dist_fn = ba.make_distributed_refine(mesh, k_window=4, iterations=5)
+    dist = dist_fn(jnp.asarray(init), jnp.asarray(src), jnp.asarray(ref),
+                   jnp.asarray(nrm), jnp.asarray(val))
+    np.testing.assert_allclose(np.asarray(single), np.asarray(dist), atol=1e-4)

@@ -1,0 +1,75 @@
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from plo_tpu import config as cfgmod
+from plo_tpu.cloud import PointCloud
+from plo_tpu.utils import checkpoint, saver
+from plo_tpu.io import synthetic
+from plo_tpu.models import Odometry
+
+
+def test_saver_formats(tmp_path, rng):
+    xyz = rng.random((10, 3)).astype(np.float32)
+    cloud = PointCloud.from_xyz(jnp.asarray(xyz))
+    import dataclasses
+    cloud = dataclasses.replace(
+        cloud,
+        normal=jnp.asarray(np.tile([0, 0, 1.0], (10, 1)).astype(np.float32)),
+        valid=jnp.asarray(np.array([True] * 8 + [False] * 2)),
+    )
+    p = tmp_path / "cloud.txt"
+    saver.save_point_cloud_txt(cloud, str(p))
+    lines = p.read_text().strip().split("\n")
+    assert len(lines) == 8  # invalid rows dropped
+    assert len(lines[0].split()) == 8  # x y z i nx ny nz curv
+
+    pose = np.eye(4)
+    pose[:3, 3] = [1, 2, 3]
+    pp = tmp_path / "poses.txt"
+    saver.save_pose_tum(pose, str(pp), "0.0")
+    saver.save_pose_tum(pose, str(pp), "0.1")  # append mode
+    plines = pp.read_text().strip().split("\n")
+    assert len(plines) == 2
+    vals = plines[0].split()
+    assert len(vals) == 8
+    assert float(vals[1]) == 1.0 and float(vals[3]) == 3.0
+    assert abs(float(vals[7]) - 1.0) < 1e-6  # identity quat w=1
+
+    op = tmp_path / "markers.obj"
+    saver.save_normal_markers_obj(cloud, str(op))
+    obj = op.read_text()
+    assert obj.count("\nl ") + obj.startswith("l ") == 8
+
+    mp = tmp_path / "matched.txt"
+    saver.save_matched_points(xyz, xyz + 1, np.array([True] * 10), str(mp))
+    assert len(mp.read_text().strip().split("\n")) == 10
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = cfgmod.Config(
+        scan_registration=cfgmod.ScanRegistrationConfig(
+            sample_method=cfgmod.SampleConfig(
+                method="random", random=cfgmod.RandomSampleConfig(max_points=500))),
+        laser_odometry=cfgmod.LaserOdometryConfig(
+            matching_method=cfgmod.MatchingConfig(method="plane_ICP"),
+            solve_method=cfgmod.SolveConfig(method="LS", iterations=5)),
+        sensor=cfgmod.SensorConfig(n_scans=64),
+    )
+    scans, _ = synthetic.synthetic_sequence(3, n_scans=64, azimuth_steps=450, seed=1)
+    odo = Odometry(cfg, capacity=32768, seed=0)
+    odo.process_scan(scans[0])
+    odo.process_scan(scans[1])
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save(odo, path)
+
+    odo2 = Odometry(cfg, capacity=32768, seed=0)
+    checkpoint.load(odo2, path)
+    assert odo2.frame_count == 2
+    np.testing.assert_allclose(odo2.prev_pose, odo.prev_pose)
+
+    # Both continue identically on the next scan.
+    f_a = odo.process_scan(scans[2])
+    f_b = odo2.process_scan(scans[2])
+    np.testing.assert_allclose(f_a.rel_pose, f_b.rel_pose, atol=1e-6)
