@@ -39,19 +39,18 @@ def main():
     )
 
     world = synthetic.SyntheticWorld.corridor(seed=7, n_boxes=140, extent=120.0)
-    n_warm, n_bench = 2, 8
+    batch = 8
+    n_warm, n_bench = 1 + batch, 3 * batch
     scans, _ = synthetic.synthetic_sequence(
         n_warm + n_bench, n_scans=64, azimuth_steps=900, speed=0.5, yaw_rate=0.005,
         seed=11, world=world)
 
     odo = Odometry(cfg, capacity=65536, seed=0, async_mode=True)
-    for s in scans[:n_warm]:
-        odo.process_scan(s)
+    odo.process_scans(scans[:n_warm], batch=batch)  # frame 0 + one full batch (compiles)
     odo.finalize()
 
     t0 = time.perf_counter()
-    for s in scans[n_warm:]:
-        odo.process_scan(s)
+    odo.process_scans(scans[n_warm:], batch=batch)
     odo.finalize()
     dt = time.perf_counter() - t0
 

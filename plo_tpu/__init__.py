@@ -24,12 +24,28 @@ Subpackage map (reference parity notes in each module's docstring):
   utils/     profiling, saving, evaluation       (tic_toc.h, saver.cpp)
 """
 
+import os as _os
+
 import jax as _jax
 
 # Geometry code is precision-sensitive: TPU matmuls default to bf16 inputs,
 # which is far too coarse for pose solves / rotation algebra. Force f32
 # accumulation everywhere; hot kernels opt into bf16 explicitly where safe.
 _jax.config.update("jax_default_matmul_precision", "float32")
+
+# Persistent compilation cache: the fused per-config pipelines are large
+# programs, and on remote-compile setups (TPU tunnels) a cold compile takes
+# minutes. Cache across processes so only the first run pays it.
+_cache_dir = _os.environ.get("PLO_TPU_COMPILE_CACHE",
+                             _os.path.expanduser("~/.cache/plo_tpu_jax"))
+# CPU AOT cache entries are machine-feature-sensitive (noisy SIGILL warnings
+# on reload); only cache for accelerator platforms.
+if "cpu" in _os.environ.get("JAX_PLATFORMS", ""):
+    _cache_dir = None
+if _cache_dir and _cache_dir != "0":
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from plo_tpu import config as config  # noqa: F401
 from plo_tpu.cloud import PointCloud, ScanGrid  # noqa: F401

@@ -45,8 +45,8 @@ class OdometryFrame:
     stats: Dict[str, float]
 
 
-def _make_icp_step(cfg: Config):
-    """Build the jitted per-frame ICP loop for a config."""
+def _make_icp_step(cfg: Config, jit: bool = True):
+    """Build the per-frame ICP loop for a config (jitted unless jit=False)."""
     lo = cfg.laser_odometry
     mm = lo.matching_method
     sv = lo.solve_method
@@ -101,7 +101,6 @@ def _make_icp_step(cfg: Config):
                                  t.rotation_gnc_factor, min(t.rotation_max_iterations, 64))
         raise ValueError(f"invalid solve method {solve_method!r}")
 
-    @jax.jit
     def icp_step(flat: PointCloud, target: PointCloud, key):
         if use_precomputed_normals:
             tgt_normal, tgt_normal_ok = matching.precompute_target_normals(
@@ -144,7 +143,7 @@ def _make_icp_step(cfg: Config):
         i, rpose, done, n_corr, converged = jax.lax.while_loop(cond, body, init)
         return rpose, i, n_corr, converged
 
-    return icp_step
+    return jax.jit(icp_step) if jit else icp_step
 
 
 class Odometry:
@@ -166,6 +165,8 @@ class Odometry:
         self.cfg = cfg
         self.frontend = FrontEnd(cfg, capacity=capacity)
         self.icp_step = _make_icp_step(cfg)
+        self.seed = seed
+        self._key_counter = 0
         self.key = jax.random.PRNGKey(seed)
         self.prev_pose = np.eye(4)              # prevLaserPose (:48)
         self.frame_count = 0
@@ -177,8 +178,11 @@ class Odometry:
         self._pending = []  # (index, rel_pose_dev, iters_dev, ncorr_dev, stats_dev)
 
     def _next_key(self):
-        self.key, sub = jax.random.split(self.key)
-        return sub
+        # Host-constructed counter keys: a threefry key is just two uint32s,
+        # so building it on host avoids two device round trips per frame
+        # (split + fold) that would each pay a full RTT on remote links.
+        self._key_counter += 1
+        return jnp.asarray([np.uint32(self.seed), np.uint32(self._key_counter)])
 
     def _accumulated_target(self) -> PointCloud:
         """accumulateTargetCloud (laser_odometry.cpp:116-136): concat of the
@@ -244,6 +248,85 @@ class Odometry:
         """Drain all pending async frames; returns the full trajectory."""
         self._drain()
         return self.trajectory
+
+    # ------------------------------------------------------------------
+    # Batched on-device frame loop
+    # ------------------------------------------------------------------
+    def _build_batch_step(self, batch: int):
+        """One jitted program advancing `batch` frames: a lax.scan whose carry
+        holds the model cloud (the reference's accumulateTargetCloud state)
+        and the previous filtered cloud. Sequential frame semantics are
+        preserved exactly; host cost drops to one transfer + one dispatch per
+        `batch` scans — the TPU-native version of the reference's front-/back-
+        end pipelining (SURVEY.md §2.3 P1-P3). Requires max_queue_size == 1
+        (the reference's shipped setting, config.json:84)."""
+        assert self.cfg.laser_odometry.max_queue_size == 1, \
+            "batched driver currently supports max_queue_size == 1"
+        run_frontend = self.frontend.raw_fn
+        icp = _make_icp_step(self.cfg, jit=False)
+
+        def step(carry, inp):
+            target, last_filtered, fidx = carry
+            raw, n_valid = inp
+            key_f = jax.random.fold_in(self._base_key, fidx)
+            fe = run_frontend(raw, n_valid, key_f, last_filtered.xyz, None,
+                              last_filtered.valid, first_frame=False)
+            rpose, iters, ncorr, _ = icp(fe.flat, target, jax.random.fold_in(key_f, 1))
+            out = (rpose, iters, ncorr, fe.stats)
+            return (fe.filtered, fe.filtered, fidx + 1), out
+
+        @jax.jit
+        def batch_step(raws, n_valids, target, last_filtered, frame0):
+            init = (target, last_filtered, frame0)
+            (target, last_filtered, _), outs = jax.lax.scan(
+                step, init, (raws, n_valids))
+            return target, last_filtered, outs
+
+        return batch_step
+
+    def process_scans(self, scans, batch: int = 8):
+        """Process an iterable of raw scans with the batched on-device loop.
+        Frame 0 (and any remainder frames) go through the single-frame path;
+        full batches run as one dispatch each. Call finalize() after."""
+        if not hasattr(self, "_batch_steps"):
+            self._batch_steps = {}
+            self._base_key = self.key
+        scans = list(scans)
+        i = 0
+        cap = self.frontend.capacity
+        while i < len(scans):
+            if self.frame_count == 0 or len(scans) - i < batch:
+                self.process_scan(scans[i])
+                i += 1
+                continue
+            if batch not in self._batch_steps:
+                self._batch_steps[batch] = self._build_batch_step(batch)
+            raws = np.zeros((batch, cap, 4), np.float32)
+            nvs = np.zeros((batch,), np.int32)
+            for j in range(batch):
+                raw = scans[i + j]
+                n = min(len(raw), cap)
+                raws[j, :n, : raw.shape[1]] = raw[:n, :4]
+                nvs[j] = n
+            target = self._accumulated_target()
+            frame0 = jnp.asarray(self.frame_count, jnp.int32)
+            new_target, new_last, outs = self._batch_steps[batch](
+                jnp.asarray(raws), jnp.asarray(nvs), target,
+                self.last_filtered, frame0)
+            rposes, iters, ncorrs, stats = outs
+            for j in range(batch):
+                self._pending.append(
+                    (self.frame_count + j,
+                     rposes[j], iters[j], ncorrs[j],
+                     {k: v[j] for k, v in stats.items()}))
+            self.cloud_queue.clear()
+            self.cloud_queue.append(new_target)
+            self.last_filtered = new_last
+            self.frame_count += batch
+            i += batch
+            if not self.async_mode or len(self._pending) >= self.sync_every:
+                self._drain()
+        return self
 
     def poses(self) -> np.ndarray:
         self._drain()

@@ -80,7 +80,8 @@ class FrontEnd:
         else:
             raise ValueError(f"invalid sample method {self.sample_method!r}")
 
-        self._process = jax.jit(self._build(), static_argnames=("first_frame",))
+        self.raw_fn = self._build()  # unjitted; reused by the batched driver
+        self._process = jax.jit(self.raw_fn, static_argnames=("first_frame",))
 
     # ------------------------------------------------------------------
     def _build(self):
@@ -112,7 +113,8 @@ class FrontEnd:
                 plane_fail = nres.plane_fail
                 eigvecs = nres.eigvecs
             elif self.format == "range_image":
-                rng_img, xyzg, relg, occ = pre_ops.rasterize_range_image(rc, self.height, self.width)
+                rng_img, xyzg, relg, occ, srcg = pre_ops.rasterize_range_image(
+                    rc, self.height, self.width)
                 if self.normal_method == "FALS":
                     nrm, ok = ri.fals(rng_img)
                 elif self.normal_method == "SRI":
@@ -122,11 +124,15 @@ class FrontEnd:
                 hw = self.height * self.width
                 ring = jnp.repeat(jnp.arange(self.height, dtype=jnp.float32), self.width)
                 rel_flat = relg.reshape(hw)
+                # Carry the stage-1 curvature of each cell's winning point
+                # (the reference copies laserCloud curvature into the filtered
+                # cloud on the range-image paths, scan_registration.cpp:1324).
+                curv_flat = curv[srcg.reshape(hw)]
                 cloud = PointCloud(
                     xyz=xyzg.reshape(hw, 3),
                     normal=nrm.reshape(hw, 3),
                     intensity=ring + 0.1 * rel_flat,
-                    curvature=jnp.zeros((hw,), jnp.float32),
+                    curvature=jnp.where(ok.reshape(hw), curv_flat, 0.0),
                     eigvals=jnp.zeros((hw, 3), jnp.float32),
                     valid=ok.reshape(hw),
                 )

@@ -192,8 +192,10 @@ def rasterize_range_image(cloud: RingCloud, height: int, width: int):
     """Scatter-min fill of the dense range image (scan_registration.cpp:1045-1057).
 
     Returns (rng2d [H, W] with +inf holes, xyz [H, W, 3] of the min-range point
-    per cell, occupied [H, W]). col = floor(relTime * width) clipped; the
-    stored value is the reference's 2D range sqrt(x^2+y^2).
+    per cell, rel_time [H, W], occupied [H, W], src_idx [H, W] flat index of
+    the winning point in `cloud` — for carrying per-point attributes like the
+    stage-1 curvature into the grid). col = floor(relTime * width) clipped;
+    the stored value is the reference's 2D range sqrt(x^2+y^2).
     """
     col = jnp.clip((cloud.rel_time * width).astype(jnp.int32), 0, width - 1)
     row = jnp.clip(cloud.ring, 0, height - 1)
@@ -208,7 +210,11 @@ def rasterize_range_image(cloud: RingCloud, height: int, width: int):
     wcell = jnp.where(is_winner, cell, height * width)
     flat_xyz = jnp.zeros((height * width + 1, 3), jnp.float32).at[wcell].set(cloud.xyz)
     flat_rel = jnp.zeros((height * width + 1,), jnp.float32).at[wcell].set(cloud.rel_time)
+    flat_src = jnp.zeros((height * width + 1,), jnp.int32).at[wcell].set(
+        jnp.arange(cloud.capacity, dtype=jnp.int32))
 
     rng_img = flat[:-1].reshape(height, width)
     occupied = jnp.isfinite(rng_img)
-    return rng_img, flat_xyz[:-1].reshape(height, width, 3), flat_rel[:-1].reshape(height, width), occupied
+    return (rng_img, flat_xyz[:-1].reshape(height, width, 3),
+            flat_rel[:-1].reshape(height, width), occupied,
+            flat_src[:-1].reshape(height, width))

@@ -28,6 +28,7 @@ def save(odo: "Odometry", path: str):
         "prev_pose": odo.prev_pose,
         "frame_count": np.asarray(odo.frame_count),
         "key": np.asarray(odo.key),
+        "key_counter": np.asarray(odo._key_counter),
         "n_queue": np.asarray(len(odo.cloud_queue)),
     }
     for qi, cloud in enumerate(odo.cloud_queue):
@@ -45,6 +46,8 @@ def load(odo: "Odometry", path: str):
     odo.prev_pose = data["prev_pose"]
     odo.frame_count = int(data["frame_count"])
     odo.key = jnp.asarray(data["key"])
+    if "key_counter" in data:
+        odo._key_counter = int(data["key_counter"])
     odo.cloud_queue.clear()
 
     def cloud_from(prefix):

@@ -85,3 +85,14 @@ def test_ring_neighbor_search_finds_adjacent():
     np.testing.assert_array_equal(np.asarray(flat)[:W], W + np.arange(W))
     np.testing.assert_allclose(np.asarray(d2)[:W], 1.0, atol=1e-5)
     assert np.asarray(found)[:W].all()
+
+
+def test_knn_approx_select_close_to_exact(rng):
+    q, t, tv = clouds(rng)
+    d2a, ia, va = neighbors.knn(jnp.asarray(q), jnp.asarray(t), jnp.asarray(tv), k=8, select="exact")
+    d2b, ib, vb = neighbors.knn(jnp.asarray(q), jnp.asarray(t), jnp.asarray(tv), k=8, select="approx")
+    # Recall of the approx selection (1.0 in measurements; allow tiny slack).
+    recall = np.mean([
+        len(set(np.asarray(ia)[i]) & set(np.asarray(ib)[i])) / 8 for i in range(len(q))
+    ])
+    assert recall > 0.95

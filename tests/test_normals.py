@@ -79,7 +79,7 @@ def test_fals_normals_flat_world():
     pts[:n] = raw[:n]
     rc = preprocess.preprocess(jnp.asarray(pts), n, cfgmod.SensorConfig(n_scans=64))
     W = 720
-    img, xyzg, relg, occ = preprocess.rasterize_range_image(rc, 64, W)
+    img, xyzg, relg, occ, srcg = preprocess.rasterize_range_image(rc, 64, W)
     engine = normals.RangeImageNormals(64, W, fov_up_deg=2.0, fov_down_deg=-24.33, window_size=3)
     nrm, ok = engine.fals(img)
     ok_np = np.asarray(ok)
@@ -96,7 +96,7 @@ def test_fals_normals_flat_world():
 def test_sri_normals_run():
     rc = preprocessed_scan()
     W = 720
-    img, xyzg, relg, occ = preprocess.rasterize_range_image(rc, 64, W)
+    img, xyzg, relg, occ, srcg = preprocess.rasterize_range_image(rc, 64, W)
     engine = normals.RangeImageNormals(64, W, fov_up_deg=2.0, fov_down_deg=-24.33, window_size=3)
     nrm, ok = engine.sri(img)
     ok_np = np.asarray(ok)

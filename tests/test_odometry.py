@@ -101,3 +101,23 @@ def test_ate_utils():
     noisy[:, 1, 3] += 0.1
     assert evaluate.ate_rmse(noisy, poses, align=False) == pytest.approx(0.1, abs=1e-6)
     assert evaluate.ate_rmse(noisy, poses, align=True) < 0.01
+
+
+def test_batched_driver_matches_single_frame_quality():
+    """The on-device lax.scan frame loop must reproduce the sequential
+    semantics: same-quality trajectory as the per-frame path (keys differ, so
+    comparison is by ATE, not bitwise)."""
+    cfg = base_config(
+        matching_method=cfgmod.MatchingConfig(method="plane_ICP"),
+        solve_method=cfgmod.SolveConfig(method="LS", iterations=30),
+    )
+    scans, gt = synthetic.synthetic_sequence(
+        6, n_scans=64, azimuth_steps=900, speed=0.5, yaw_rate=0.01, seed=3)
+    gtr = rel_to_first(gt)
+
+    odo = Odometry(cfg, capacity=65536, seed=0, async_mode=True)
+    odo.process_scans(scans, batch=4)
+    odo.finalize()
+    assert odo.frame_count == 6
+    ate = evaluate.ate_rmse(odo.poses(), gtr, align=False)
+    assert ate < 0.1, f"batched ATE {ate}"

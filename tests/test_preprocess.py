@@ -87,7 +87,7 @@ def test_rasterize_range_image():
     raw = make_scan(azimuth_steps=360)
     pts, n = pad(raw)
     rc = preprocess.preprocess(jnp.asarray(pts), n, cfgmod.SensorConfig(n_scans=64))
-    img, xyzg, relg, occ = preprocess.rasterize_range_image(rc, 64, 400)
+    img, xyzg, relg, occ, srcg = preprocess.rasterize_range_image(rc, 64, 400)
     occ_np = np.asarray(occ)
     img_np = np.asarray(img)
     assert occ_np.mean() > 0.3
