@@ -71,13 +71,16 @@ class PointCloud:
     def gather(self, idx: jnp.ndarray, idx_valid: jnp.ndarray) -> "PointCloud":
         """Select rows `idx` (with validity) into a new padded cloud."""
         take = lambda a: jnp.take(a, idx, axis=0, mode="clip")
+        # Bool gathers hit a pathologically slow TPU path; route via f32
+        # (see ops.neighbors.gather_mask).
+        valid_f = jnp.take(self.valid.astype(jnp.float32), idx, axis=0, mode="clip")
         return PointCloud(
             xyz=take(self.xyz),
             normal=take(self.normal),
             intensity=take(self.intensity),
             curvature=take(self.curvature),
             eigvals=take(self.eigvals),
-            valid=take(self.valid) & idx_valid,
+            valid=(valid_f > 0.5) & idx_valid,
         )
 
     def concat(self, other: "PointCloud") -> "PointCloud":

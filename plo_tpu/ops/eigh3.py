@@ -68,12 +68,13 @@ def _null_vector(M: jnp.ndarray) -> jnp.ndarray:
     best_norm2 = jnp.maximum(jnp.maximum(n01, n02), n12)
 
     # Degenerate fallback: any unit vector orthogonal to the dominant row.
-    rows_norm2 = jnp.stack(
-        [jnp.sum(r0 * r0, -1), jnp.sum(r1 * r1, -1), jnp.sum(r2 * r2, -1)], -1
+    # (Select with where, not take_along_axis: axis gathers are a slow TPU
+    # path for per-row dynamic selection.)
+    n0, n1, n2 = jnp.sum(r0 * r0, -1), jnp.sum(r1 * r1, -1), jnp.sum(r2 * r2, -1)
+    dom = jnp.where(
+        ((n0 >= n1) & (n0 >= n2))[..., None], r0,
+        jnp.where((n1 >= n2)[..., None], r1, r2),
     )
-    dom = jnp.take_along_axis(
-        M, jnp.argmax(rows_norm2, axis=-1)[..., None, None].repeat(3, -1), axis=-2
-    )[..., 0, :]
     ex = jnp.zeros_like(dom).at[..., 0].set(1.0)
     ey = jnp.zeros_like(dom).at[..., 1].set(1.0)
     alt = jnp.where(

@@ -111,7 +111,7 @@ def _plane_icp_impl(src_xyz, src_normal, src_valid, tgt_xyz, tgt_normal, tgt_nor
     idx_c = jnp.clip(idx, 0, cap - 1)
     n = tgt_normal[idx_c]
     p = tgt_xyz[idx_c]
-    normal_ok = found & tgt_normal_ok[idx_c] & jnp.all(jnp.isfinite(n), axis=-1)
+    normal_ok = found & neighbors.gather_mask(tgt_normal_ok, idx_c) & jnp.all(jnp.isfinite(n), axis=-1)
     if angle_enabled:
         angle_ok = _angle_deg(src_normal, n) <= angle_threshold
     else:
@@ -146,22 +146,32 @@ def plane_icp_project(source: PointCloud, target: PointCloud, cfg: PlaneICPConfi
     )
 
 
-@partial(jax.jit, static_argnames=("k", "use_projected", "angle_enabled", "use_anchor_override"))
+@partial(jax.jit, static_argnames=("k", "use_projected", "angle_enabled", "use_anchor_override",
+                                   "knn_select"))
 def _imls_impl(src_xyz, src_normal, src_valid, tgt_xyz, tgt_normal, tgt_normal_ok,
                tgt_valid, anchor_normal_src, anchor_ok_src,
                h: float, r: float, r_proj: float, angle_threshold: float,
                k: int, use_projected: bool, angle_enabled: bool,
-               use_anchor_override: bool) -> MatchResult:
+               use_anchor_override: bool, knn_select: str = "approx") -> MatchResult:
     cap = tgt_xyz.shape[0]
 
-    # ---- anchor search (imls_icp.cpp:563-610) ----
+    # ---- IMLS neighborhood first (ImplicitMLSFunction, imls_icp.cpp:301-483);
+    # in euclidean mode the anchor (k=1 NN within the same radius r,
+    # imls_icp.cpp:597-610) is exactly the first kNN result, so one pass over
+    # the target serves both searches. ----
     if use_projected:
         pmin, aidx, found = neighbors.projected_argmin(
             src_xyz, src_normal, tgt_xyz, tgt_valid, euclid_gate=r_proj, proj_gate=r
         )
         min_dist = pmin * pmin  # squared projected distance (:587)
+        npd, nidx, nfound = neighbors.projected_knn(
+            src_xyz, src_normal, tgt_xyz, tgt_valid, k, euclid_gate=r_proj, proj_gate=r
+        )
+        near_d2 = npd * npd  # sorted squared projected distances
     else:
-        min_dist, aidx, found = neighbors.nearest(src_xyz, tgt_xyz, tgt_valid, radius=r)
+        near_d2, nidx, nfound = neighbors.knn(src_xyz, tgt_xyz, tgt_valid, k=k,
+                                              radius=r, select=knn_select)
+        min_dist, aidx, found = near_d2[:, 0], nidx[:, 0], nfound[:, 0]
 
     aidx_c = jnp.clip(aidx, 0, cap - 1)
     anchor_near = min_dist <= h * h  # :620-625
@@ -173,25 +183,16 @@ def _imls_impl(src_xyz, src_normal, src_valid, tgt_xyz, tgt_normal, tgt_normal_o
         anchor_normal_ok = anchor_ok_src & jnp.all(jnp.isfinite(n_anchor), axis=-1)
     else:
         n_anchor = tgt_normal[aidx_c]
-        anchor_normal_ok = tgt_normal_ok[aidx_c] & jnp.all(jnp.isfinite(n_anchor), axis=-1)
+        anchor_normal_ok = neighbors.gather_mask(tgt_normal_ok, aidx_c) & jnp.all(jnp.isfinite(n_anchor), axis=-1)
     if angle_enabled:
         anchor_angle_ok = _angle_deg(src_normal, n_anchor) <= angle_threshold
     else:
         anchor_angle_ok = jnp.ones_like(found)
 
-    # ---- IMLS neighborhood (ImplicitMLSFunction, imls_icp.cpp:301-483) ----
-    if use_projected:
-        npd, nidx, nfound = neighbors.projected_knn(
-            src_xyz, src_normal, tgt_xyz, tgt_valid, k, euclid_gate=r_proj, proj_gate=r
-        )
-        near_d2 = npd * npd  # sorted squared projected distances
-    else:
-        near_d2, nidx, nfound = neighbors.knn(src_xyz, tgt_xyz, tgt_valid, k=k, radius=r)
-
     nidx_c = jnp.clip(nidx, 0, cap - 1)
     npts = tgt_xyz[nidx_c]                         # [S, k, 3]
     nnrm = tgt_normal[nidx_c]                      # [S, k, 3]
-    n_ok = nfound & tgt_normal_ok[nidx_c]
+    n_ok = nfound & neighbors.gather_mask(tgt_normal_ok, nidx_c)
     if angle_enabled:
         nang = _angle_deg(jnp.broadcast_to(src_normal[:, None, :], nnrm.shape), nnrm)
         n_ok = n_ok & (nang <= angle_threshold)
@@ -235,7 +236,8 @@ def _imls_impl(src_xyz, src_normal, src_valid, tgt_xyz, tgt_normal, tgt_normal_o
 
 def imls_project(source: PointCloud, target: PointCloud, cfg: IMLSConfig,
                  target_normal=None, target_normal_ok=None,
-                 anchor_normal_src=None, anchor_ok_src=None) -> MatchResult:
+                 anchor_normal_src=None, anchor_ok_src=None,
+                 knn_select: str = "approx") -> MatchResult:
     """ProjSourcePtToSurface (imls_icp.cpp:496-745): y = x - I(x) n.
 
     `target_normal`/`target_normal_ok` override the target cloud's stored
@@ -258,4 +260,5 @@ def imls_project(source: PointCloud, target: PointCloud, cfg: IMLSConfig,
         cfg.use_projected_distance.enabled,
         cfg.normal_angle_constraint.enabled,
         use_override,
+        knn_select,
     )

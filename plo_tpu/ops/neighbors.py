@@ -28,6 +28,17 @@ import jax.numpy as jnp
 INF = jnp.inf
 
 
+def gather_mask(mask: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather a boolean mask at arbitrary indices via a f32 gather.
+
+    Direct bool gathers lower to a catastrophically slow custom kernel on TPU
+    (measured 17 ms for [65536, 33] vs 0.05 ms for the same gather in f32 —
+    see the fusion.22/24 trace notes in SKILL.md); routing through f32 keeps
+    the op on the fast gather path.
+    """
+    return mask.astype(jnp.float32)[idx] > 0.5
+
+
 def _chunk_count(t: int, chunk: int) -> int:
     return -(-t // chunk)
 
@@ -236,8 +247,12 @@ def ring_neighbor_search(
     cand_pos = center[:, None] + offs[None, :]
     in_ring = (cand_pos >= 0) & (cand_pos < tcount[:, None]) & tring_ok[:, None]
     cand_flat = jnp.clip(tstart[:, None] + cand_pos, 0, query_xyz.shape[0] - 1)
-    cand_xyz = query_xyz[cand_flat]  # [P, 2w+1, 3]
-    cand_valid = in_ring & query_valid[cand_flat]
+    # One packed row gather [P, 2w+1, 4] instead of separate xyz + mask
+    # gathers: scalar gathers from 1-D arrays are a slow TPU path.
+    packed = jnp.concatenate([query_xyz, query_valid.astype(jnp.float32)[:, None]], axis=1)
+    cand = packed[cand_flat]  # [P, 2w+1, 4]
+    cand_xyz = cand[..., :3]
+    cand_valid = in_ring & (cand[..., 3] > 0.5)
 
     diff = cand_xyz - query_xyz[:, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)

@@ -36,7 +36,7 @@ import numpy as np
 from plo_tpu.cloud import PointCloud
 from plo_tpu.config import PCAConfig, CrossProductConfig
 from plo_tpu.ops.eigh3 import eigh3_descending
-from plo_tpu.ops.neighbors import ring_neighbor_search
+from plo_tpu.ops.neighbors import gather_mask, ring_neighbor_search
 from plo_tpu.ops.preprocess import RingCloud
 
 
@@ -91,17 +91,28 @@ def _ring_interior_mask(cloud: RingCloud) -> jnp.ndarray:
     return cloud.valid & ring_ok & sizes_ok & pos_ok
 
 
-def _window_gather(cloud: RingCloud, center_flat: jnp.ndarray, center_ok: jnp.ndarray,
-                   window_size: int, iter_step: int):
+def _packed_points(cloud: RingCloud) -> jnp.ndarray:
+    """[P, 5] = [x, y, z, ring, valid] — one row-gatherable array so window
+    lookups are a single contiguous-row gather (scalar gathers from 1-D
+    arrays are a slow TPU path; see ops.neighbors.gather_mask)."""
+    return jnp.concatenate(
+        [cloud.xyz, cloud.ring.astype(jnp.float32)[:, None],
+         cloud.valid.astype(jnp.float32)[:, None]], axis=1)
+
+
+def _window_gather(cloud: RingCloud, packed: jnp.ndarray, center_flat: jnp.ndarray,
+                   center_ok: jnp.ndarray, window_size: int, iter_step: int):
     """Gather the +-window along the ring of `center_flat`; a slot is valid if
     it stays inside the same ring (scan_registration.cpp:166-169)."""
     offs = jnp.arange(-window_size, window_size + 1, iter_step, dtype=jnp.int32)
     idx = center_flat[:, None] + offs[None, :]
     idx_c = jnp.clip(idx, 0, cloud.capacity - 1)
-    same_ring = cloud.ring[idx_c] == cloud.ring[jnp.clip(center_flat, 0, cloud.capacity - 1)][:, None]
+    rows = packed[idx_c]                       # [P, Wn, 5] one row gather
+    center_ring = packed[jnp.clip(center_flat, 0, cloud.capacity - 1), 3]
+    same_ring = rows[..., 3] == center_ring[:, None]
     in_bounds = (idx >= 0) & (idx < cloud.capacity)
-    ok = center_ok[:, None] & same_ring & in_bounds & cloud.valid[idx_c]
-    return cloud.xyz[idx_c], ok  # [P, Wn, 3], [P, Wn]
+    ok = center_ok[:, None] & same_ring & in_bounds & (rows[..., 4] > 0.5)
+    return rows[..., :3], ok  # [P, Wn, 3], [P, Wn]
 
 
 @partial(jax.jit, static_argnames=("window_size", "iter_step", "neighbor_scan",
@@ -119,9 +130,10 @@ def _pca_impl(cloud: RingCloud, window_size: int, iter_step: int,
     up_flat, up_ok = _adjacent_ring_index(cloud, -1, neighbor_scan, knn_distance_threshold)
     dn_flat, dn_ok = _adjacent_ring_index(cloud, +1, neighbor_scan, knn_distance_threshold)
 
-    p0, m0 = _window_gather(cloud, self_idx, eligible, window_size, iter_step)
-    p1, m1 = _window_gather(cloud, up_flat, up_ok & eligible, window_size, iter_step)
-    p2, m2 = _window_gather(cloud, dn_flat, dn_ok & eligible, window_size, iter_step)
+    packed = _packed_points(cloud)
+    p0, m0 = _window_gather(cloud, packed, self_idx, eligible, window_size, iter_step)
+    p1, m1 = _window_gather(cloud, packed, up_flat, up_ok & eligible, window_size, iter_step)
+    p2, m2 = _window_gather(cloud, packed, dn_flat, dn_ok & eligible, window_size, iter_step)
 
     pts = jnp.concatenate([p0, p1, p2], axis=1)   # [P, num, 3]
     msk = jnp.concatenate([m0, m1, m2], axis=1)   # [P, num]
@@ -189,7 +201,7 @@ def _cross_product_impl(cloud: RingCloud, knn_distance_threshold: float,
     def ring_offset_pt(off):
         idx = jnp.clip(self_idx + off, 0, cap - 1)
         ok = (self_idx + off >= 0) & (self_idx + off < cap) & (cloud.ring[idx] == cloud.ring)
-        return cloud.xyz[idx], ok & cloud.valid[idx]
+        return cloud.xyz[idx], ok & gather_mask(cloud.valid, idx)
 
     fwd, fok = ring_offset_pt(1)
     bwd, bok = ring_offset_pt(-1)

@@ -53,6 +53,29 @@ class SaliencyResult:
     surfaceness: jnp.ndarray   # [P]
     curveness: jnp.ndarray     # [P]
     pointness: jnp.ndarray     # [P]
+    eigvecs: jnp.ndarray       # [P, 3, 3] voted-tensor eigenvectors (desc cols)
+
+    def descriptors(self) -> jnp.ndarray:
+        """The reference's 22-row DataPoints descriptor block (the hand-rolled
+        serialization layout of saver.cpp:135-306 / SURVEY.md C6):
+        rows 0-2 surfaceness/curveness/pointness, 3-5 normals, 6-8 tangents,
+        9 labels, 10-13 sticks (saliency + tail), 14-20 plates (saliency +
+        2 tails), 21 balls. Returns [22, P]."""
+        e1 = self.eigvecs[:, :, 0].T      # stick tail (max eigvec)
+        e2 = self.eigvecs[:, :, 1].T
+        e3 = self.eigvecs[:, :, 2].T
+        return jnp.concatenate([
+            self.surfaceness[None, :], self.curveness[None, :], self.pointness[None, :],
+            e3,                            # "normals" rows (min eigvec)
+            e1,                            # "tangents" rows — the field the
+                                           # reference actually consumes as
+                                           # the normal (its libpointmatcher
+                                           # bug note, scan_registration.cpp:1426)
+            self.labels[None, :].astype(jnp.float32),
+            self.surfaceness[None, :], e1,             # sticks: saliency + tail
+            self.curveness[None, :], e1, e2,           # plates: saliency + tails
+            self.pointness[None, :],                   # balls
+        ], axis=0)
 
 
 @jax.jit
@@ -143,6 +166,7 @@ def saliency_presample(cloud: PointCloud, eigvecs: jnp.ndarray,
     voted, received = cast_votes(cloud.xyz, cloud.valid, cloud.xyz, cloud.valid,
                                  T_in, cfg.k, cfg.sigma)
     surfaceness, curveness, pointness, stick, labels = decompose(voted)
+    _, voted_vecs = eigh3_descending(voted)
 
     # +z hemisphere flip of the effective normal (scan_registration.cpp:1425-1434).
     normal = stick * jnp.where(stick[:, 2:3] < 0, -1.0, 1.0)
@@ -162,7 +186,7 @@ def saliency_presample(cloud: PointCloud, eigvecs: jnp.ndarray,
     candidates = valid & (labels != 1)
     return SaliencyResult(cloud=out, candidates=candidates, labels=labels,
                           surfaceness=surfaceness, curveness=curveness,
-                          pointness=pointness)
+                          pointness=pointness, eigvecs=voted_vecs)
 
 
 def vote_for_any(target_xyz: jnp.ndarray, target_valid: jnp.ndarray,

@@ -102,7 +102,10 @@ def solve_ransac(source, ref, normal, valid, key,
     A3 = A_full[seeds]  # [M, 3, 6]
     b3 = b_full[seeds]  # [M, 3]
     x = jax.vmap(_solve_seed)(A3, b3)  # [M, 6]
-    R_all = geo.rotation_from_axis_angle(x[:, :3])
+    # Rodrigues output is already orthonormal; the reference's SVD fix
+    # (solver.cpp:284-293) is a numerical no-op, and 1000 vmapped 3x3 SVDs
+    # are measurable on TPU — apply it only in the final solves.
+    R_all = geo.exp_so3(x[:, :3])
     t_all = x[:, 3:6]
 
     counts = _score_hypotheses(source, ref, normal, valid, R_all, t_all,

@@ -76,3 +76,18 @@ def save_matched_points(src_xyz: np.ndarray, ref_xyz: np.ndarray,
     with open(path, "w") as f:
         for s, r in zip(src, ref):
             f.write(f"{s[0]} {s[1]} {s[2]} {r[0]} {r[1]} {r[2]}\n")
+
+
+def save_descriptors_txt(result, path: str):
+    """saveCloudFeaturesAndDescriptors analog: per valid point, xyz followed
+    by the 22-dim descriptor column (saver.cpp:309-340 layout)."""
+    import numpy as np
+
+    desc = np.asarray(result.descriptors())  # [22, P]
+    v = np.asarray(result.cloud.valid)
+    xyz = np.asarray(result.cloud.xyz)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for i in np.nonzero(v)[0]:
+            row = " ".join(str(x) for x in desc[:, i])
+            f.write(f"{xyz[i,0]} {xyz[i,1]} {xyz[i,2]} {row}\n")

@@ -112,3 +112,27 @@ def test_tensor_voting_pipeline_e2e():
     frames = [odo.process_scan(s) for s in scans]
     assert all(np.isfinite(f.pose).all() for f in frames)
     assert frames[-1].n_correspondences > 0  # the voted-normal path matched
+
+
+def test_descriptor_layout(tmp_path):
+    import dataclasses as dc
+    rng = np.random.default_rng(0)
+    cloud = plane_cloud(rng, n=200)
+    from plo_tpu.ops import normals as _  # noqa
+    eigvecs = np.tile(np.eye(3, dtype=np.float32), (200, 1, 1))
+    ev = np.tile(np.array([1.0, 0.5, 0.01], np.float32), (200, 1))
+    cloud = dc.replace(cloud, eigvals=jnp.asarray(ev))
+    res = tv.saliency_presample(cloud, jnp.asarray(eigvecs),
+                                cfgmod.TensorVotingConfig(k=10, sigma=0.2))
+    desc = np.asarray(res.descriptors())
+    assert desc.shape == (22, 200)
+    v = np.asarray(res.cloud.valid)
+    # rows 0-2 are the saliencies; labels row 9 matches res.labels
+    np.testing.assert_allclose(desc[0, v], np.asarray(res.surfaceness)[v], rtol=1e-5)
+    np.testing.assert_array_equal(desc[9, v].astype(int), np.asarray(res.labels)[v])
+
+    from plo_tpu.utils import saver
+    p = tmp_path / "desc.txt"
+    saver.save_descriptors_txt(res, str(p))
+    line = p.read_text().strip().split("\n")[0].split()
+    assert len(line) == 25  # xyz + 22 descriptor rows
