@@ -34,6 +34,12 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-gt", action="store_true",
                    help="evaluate ATE/RPE when ground truth is available")
+    p.add_argument("--save-artifacts", action="store_true",
+                   help="per-frame cloud/marker dumps in the reference's text "
+                        "formats (saver.cpp) — slow, off by default")
+    p.add_argument("--batch", type=int, default=1,
+                   help="frames per device dispatch (the batched on-device "
+                        "loop; >1 requires max_queue_size==1)")
     return p
 
 
@@ -79,19 +85,41 @@ def main(argv=None):
     metrics = MetricsLog(os.path.join(outdir, "metrics.jsonl") if outdir else None)
     times_file = os.path.join(outdir, "odometry_times.txt") if outdir else None
 
-    odo = Odometry(cfg, capacity=args.capacity, seed=args.seed)
+    odo = Odometry(cfg, capacity=args.capacity, seed=args.seed,
+                   async_mode=args.batch > 1)
     tic = TicToc()
-    for i, scan in enumerate(scans):
-        tic.tic()
-        frame = odo.process_scan(scan)
-        ms = tic.toc()
-        if times_file:
-            with open(times_file, "a") as f:
-                f.write(f"Frame {i}: {ms:.3f} ms\n")
-        metrics.log({"frame": i, "ms": ms, "iterations": frame.iterations,
-                     "correspondences": frame.n_correspondences, **frame.stats})
-        print(f"frame {i}: {ms:7.1f} ms  iters={frame.iterations:2d} "
-              f"corr={frame.n_correspondences}")
+    if args.batch > 1:
+        scan_list = list(scans)
+        odo.process_scans(scan_list, batch=args.batch)
+        odo.finalize()
+        total_ms = tic.toc()
+        for frame in odo.trajectory:
+            metrics.log({"frame": frame.index, "iterations": frame.iterations,
+                         "correspondences": frame.n_correspondences, **frame.stats})
+        print(f"{len(odo.trajectory)} frames in {total_ms:.0f} ms "
+              f"({len(odo.trajectory) / max(total_ms, 1e-9) * 1000:.1f} scans/s)")
+    else:
+        from plo_tpu.utils import saver as saver_mod
+        for i, scan in enumerate(scans):
+            tic.tic()
+            frame = odo.process_scan(scan)
+            ms = tic.toc()
+            if times_file:
+                with open(times_file, "a") as f:
+                    f.write(f"Frame {i}: {ms:.3f} ms\n")
+            metrics.log({"frame": i, "ms": ms, "iterations": frame.iterations,
+                         "correspondences": frame.n_correspondences, **frame.stats})
+            if args.save_artifacts and outdir:
+                ts = f"{i:06d}"
+                saver_mod.save_point_cloud_txt(
+                    odo.last_filtered, os.path.join(outdir, "pcl_cloud", ts + ".txt"))
+                saver_mod.save_normal_markers_obj(
+                    odo.last_filtered, os.path.join(outdir, "pca_markers", ts + ".obj"))
+                saver_mod.save_pose_tum(
+                    frame.pose, os.path.join(outdir, "imls_results.txt"),
+                    f"{i * cfg.sensor.scan_period:.6f}")
+            print(f"frame {i}: {ms:7.1f} ms  iters={frame.iterations:2d} "
+                  f"corr={frame.n_correspondences}")
 
     import numpy as np
     poses = odo.poses()

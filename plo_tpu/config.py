@@ -242,6 +242,10 @@ class SolveConfig:  # config.json:131-170
 class LaserOdometryConfig:  # config.json:83-171
     max_queue_size: int = 1
     transform_normal: bool = False
+    # Extension: per-point constant-velocity motion compensation (the
+    # reference ships this capability disabled — DISTORTION 0,
+    # laser_odometry.cpp:29; off by default for parity).
+    undistort: bool = False
     matching_method: MatchingConfig = MatchingConfig()
     solve_method: SolveConfig = SolveConfig()
 

@@ -42,6 +42,30 @@ def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
     return eye + s * k + (1.0 - c) * (k @ k)
 
 
+def log_so3(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix -> axis-angle vector (inverse of exp_so3; safe near 0)."""
+    cos_theta = jnp.clip((jnp.trace(R, axis1=-2, axis2=-1) - 1.0) / 2.0, -1.0, 1.0)
+    theta = jnp.arccos(cos_theta)
+    w = jnp.stack([
+        R[..., 2, 1] - R[..., 1, 2],
+        R[..., 0, 2] - R[..., 2, 0],
+        R[..., 1, 0] - R[..., 0, 1],
+    ], axis=-1)
+    scale = jnp.where(theta > 1e-6, theta / jnp.maximum(2.0 * jnp.sin(theta), 1e-12), 0.5)
+    return w * scale[..., None]
+
+
+def interpolate_pose(T: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Fractional pose exp(alpha * log(T)) with linear translation and slerped
+    rotation — per-point motion compensation (the proper version of the
+    reference's vestigial TransformToStart, laser_odometry.cpp:62-87).
+    Broadcasts over alpha [...]; returns [..., 4, 4]."""
+    w = log_so3(T[:3, :3])
+    R = exp_so3(alpha[..., None] * w)
+    t = alpha[..., None] * T[:3, 3]
+    return make_se3(R, t)
+
+
 def orthonormalize(R: jnp.ndarray) -> jnp.ndarray:
     """Project onto SO(3) via SVD with det fix (solver.cpp:148-158)."""
     u, _, vt = jnp.linalg.svd(R)

@@ -175,6 +175,7 @@ class Odometry:
         self.trajectory: List[OdometryFrame] = []
         self.async_mode = async_mode
         self.sync_every = sync_every
+        self._last_rel = None  # device-resident previous rPose (undistortion)
         self._pending = []  # (index, rel_pose_dev, iters_dev, ncorr_dev, stats_dev)
 
     def _next_key(self):
@@ -200,7 +201,12 @@ class Odometry:
 
         if self.frame_count > 0:
             target = self._accumulated_target()
-            rpose, i, nc, converged = self.icp_step(fe.flat, target, self._next_key())
+            flat = fe.flat
+            if self.cfg.laser_odometry.undistort and self._last_rel is not None:
+                from plo_tpu.ops.undistort import undistort_cloud
+                flat = undistort_cloud(flat, self._last_rel)
+            rpose, i, nc, converged = self.icp_step(flat, target, self._next_key())
+            self._last_rel = rpose  # device-resident; no host sync
         else:
             rpose = jnp.eye(4, dtype=jnp.float32)
             i = nc = jnp.asarray(0, jnp.int32)

@@ -175,14 +175,16 @@ class FrontEnd:
                 n = sm.normal
                 idx, ivalid = sampling.normal_sampling(
                     cloud.normal, cand, key, n.azimuth_bins, n.elevation_bins,
-                    n.min_points_per_bin, n.max_points_per_bin, self.sample_size)
+                    n.min_points_per_bin, n.max_points_per_bin, self.sample_size,
+                    strategy=n.sampling_strategy, xyz=cloud.xyz)
             elif self.sample_method == "major_axis":
                 ma = sm.major_axis
                 idx, ivalid = sampling.major_axis_sampling(
                     cloud.xyz, cloud.normal, cand, last_xyz, last_valid, key,
                     ma.r, ma.r_proj, ma.max_total_points, ma.azimuth_bins,
                     ma.elevation_bins, ma.min_points_per_bin,
-                    ma.max_points_per_bin, self.sample_size)
+                    ma.max_points_per_bin, self.sample_size,
+                    strategy=ma.sampling_strategy)
             else:
                 raise ValueError(f"invalid sample method {self.sample_method!r}")
 

@@ -84,21 +84,28 @@ def _rank_within_bins(bins: jnp.ndarray, member: jnp.ndarray, scores: jnp.ndarra
 
 
 @partial(jax.jit, static_argnames=("azimuth_bins", "elevation_bins",
-                                   "min_points_per_bin", "max_points_per_bin", "out_size"))
+                                   "min_points_per_bin", "max_points_per_bin",
+                                   "out_size", "strategy"))
 def normal_sampling(normals: jnp.ndarray, candidates: jnp.ndarray, key: jnp.ndarray,
                     azimuth_bins: int, elevation_bins: int,
                     min_points_per_bin: int, max_points_per_bin: int,
-                    out_size: int):
+                    out_size: int, strategy: str = "random", xyz=None):
     """Spherical-histogram sampling (normalSampling, scan_registration.cpp:584-629).
 
     `out_size` is the static output capacity (azimuth*elevation*max is the
-    exact bound). Within-bin downsampling uses a random score; the reference's
-    FPS strategy is marked broken (results.png) — random is the verified path.
+    exact bound). Within-bin downsampling rank comes from a random score
+    (strategy="random") or an exact farthest-first traversal
+    (strategy="FPS", scan_registration.cpp:605-614; requires `xyz`).
     """
     n_bins = azimuth_bins * elevation_bins
     bins = spherical_bins(normals, azimuth_bins, elevation_bins)
-    scores = jax.random.uniform(key, (candidates.shape[0],))
-    rank, counts = _rank_within_bins(bins, candidates, scores, n_bins)
+    if strategy == "FPS":
+        rank, counts = fps_rank_within_bins(
+            xyz, bins, candidates, key, n_bins, bin_capacity=1024,
+            max_rank=max_points_per_bin)
+    else:
+        scores = jax.random.uniform(key, (candidates.shape[0],))
+        rank, counts = _rank_within_bins(bins, candidates, scores, n_bins)
     binc = counts[jnp.clip(bins, 0, n_bins - 1)]
     keep = candidates & (binc >= min_points_per_bin) & (rank < max_points_per_bin)
     return compact_indices(keep, out_size)
@@ -141,15 +148,19 @@ def cylinder_stats(query: jnp.ndarray, normal: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("azimuth_bins", "elevation_bins", "min_points_per_bin",
-                                   "max_points_per_bin", "max_total_points", "out_size"))
+                                   "max_points_per_bin", "max_total_points", "out_size",
+                                   "strategy"))
 def major_axis_sampling(xyz: jnp.ndarray, normals: jnp.ndarray, candidates: jnp.ndarray,
                         last_xyz: jnp.ndarray, last_valid: jnp.ndarray, key: jnp.ndarray,
                         r: float, r_proj: float, max_total_points: int,
                         azimuth_bins: int, elevation_bins: int,
                         min_points_per_bin: int, max_points_per_bin: int,
-                        out_size: int):
+                        out_size: int, strategy: str = "random"):
     """Weighted-bin sampling against the previous frame's cloud
-    (majorAxisSampling, scan_registration.cpp:631-759)."""
+    (majorAxisSampling, scan_registration.cpp:631-759). The quota-phase
+    selection uses random or exact-FPS within-bin ranks per
+    `strategy` (:736-748); the weight-estimation subsample is always random
+    (:658-664)."""
     n_bins = azimuth_bins * elevation_bins
     k_sub, k_sel = jax.random.split(key)
     bins = spherical_bins(normals, azimuth_bins, elevation_bins)
@@ -179,8 +190,13 @@ def major_axis_sampling(xyz: jnp.ndarray, normals: jnp.ndarray, candidates: jnp.
 
     # Phase 2 — quota selection (:726-758): quota = min(weight*max_total, size).
     quota = jnp.minimum((bin_weight * max_total_points).astype(jnp.int32), counts)
-    sel_scores = jax.random.uniform(k_sel, (candidates.shape[0],))
-    rank2, _ = _rank_within_bins(bins, candidates, sel_scores, n_bins)
+    if strategy == "FPS":
+        rank2, _ = fps_rank_within_bins(
+            xyz, bins, candidates, k_sel, n_bins, bin_capacity=1024,
+            max_rank=min(max_total_points, 1024))
+    else:
+        sel_scores = jax.random.uniform(k_sel, (candidates.shape[0],))
+        rank2, _ = _rank_within_bins(bins, candidates, sel_scores, n_bins)
     my_quota = quota[jnp.clip(bins, 0, n_bins - 1)]
     keep = candidates & bin_live & (rank2 < my_quota)
     return compact_indices(keep, out_size)
@@ -216,6 +232,70 @@ def three_axis_sampling(xyz: jnp.ndarray, normals: jnp.ndarray, eigvals: jnp.nda
         (9, points_per_list),
     )
     return top_idx.reshape(-1).astype(jnp.int32), per_list_valid.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("n_bins", "bin_capacity", "max_rank"))
+def fps_rank_within_bins(xyz: jnp.ndarray, bins: jnp.ndarray, member: jnp.ndarray,
+                         key: jnp.ndarray, n_bins: int, bin_capacity: int,
+                         max_rank: int):
+    """Farthest-point-sampling rank of each member within its bin.
+
+    The reference's per-bin FPS strategy (normalSampling / majorAxisSampling
+    with sampling_strategy=="FPS", scan_registration.cpp:605-614, 736-744)
+    selects the first `quota` points of a greedy farthest-first traversal; the
+    FPS rank (0 = seed) makes that a `rank < quota` mask exactly like the
+    random strategy. Bins larger than `bin_capacity` are truncated to a random
+    subset (bin membership beyond capacity gets rank = max_rank, i.e. never
+    selected); ranks beyond `max_rank` are not distinguished.
+
+    Implementation: segment-compact members into a dense [n_bins, bin_capacity]
+    table, run `max_rank` farthest-first steps vmapped over bins, scatter ranks
+    back. O(n_bins * bin_capacity * max_rank) elementwise work.
+    """
+    p = xyz.shape[0]
+    # Random within-bin order (also the truncation choice for huge bins).
+    scores = jax.random.uniform(key, (p,))
+    rank0, counts = _rank_within_bins(bins, member, scores, n_bins)
+    slot_ok = member & (rank0 < bin_capacity)
+    dest = jnp.where(slot_ok, jnp.clip(bins, 0, n_bins - 1) * bin_capacity + rank0,
+                     n_bins * bin_capacity)
+    table_xyz = (jnp.zeros((n_bins * bin_capacity + 1, 3), jnp.float32)
+                 .at[dest].set(xyz).reshape(-1, 3)[:-1].reshape(n_bins, bin_capacity, 3))
+    table_occ = (jnp.zeros((n_bins * bin_capacity + 1,), jnp.float32)
+                 .at[dest].set(1.0)[:-1].reshape(n_bins, bin_capacity))
+    src_index = (jnp.full((n_bins * bin_capacity + 1,), p, jnp.int32)
+                 .at[dest].set(jnp.arange(p, dtype=jnp.int32))[:-1]
+                 .reshape(n_bins, bin_capacity))
+
+    occ = table_occ > 0.5
+
+    def per_bin(bxyz, bocc):
+        # Greedy farthest-first; seed = slot 0 (a uniformly random member,
+        # since within-bin order is already random).
+        first = jnp.argmax(bocc)
+        d = jnp.linalg.norm(bxyz - bxyz[first], axis=-1)
+        min_d = jnp.where(bocc, d, -INF)
+        min_d = min_d.at[first].set(-INF)
+        ranks = jnp.full((bin_capacity,), max_rank, jnp.int32).at[first].set(0)
+
+        def step(i, carry):
+            ranks, min_d = carry
+            nxt = jnp.argmax(min_d)
+            has = min_d[nxt] > -INF
+            ranks = jnp.where(has, ranks.at[nxt].set(i), ranks)
+            d = jnp.linalg.norm(bxyz - bxyz[nxt], axis=-1)
+            new_min = jnp.minimum(min_d, jnp.where(bocc, d, -INF)).at[nxt].set(-INF)
+            min_d = jnp.where(has, new_min, min_d)
+            return ranks, min_d
+
+        ranks, _ = jax.lax.fori_loop(1, max_rank, step, (ranks, min_d))
+        return ranks
+
+    bin_ranks = jax.vmap(per_bin)(table_xyz, occ)  # [n_bins, bin_capacity]
+
+    flat_rank = jnp.full((p + 1,), max_rank, jnp.int32).at[src_index.reshape(-1)].set(
+        bin_ranks.reshape(-1))[:p]
+    return jnp.where(member, flat_rank, max_rank), counts
 
 
 @partial(jax.jit, static_argnames=("num_samples",))

@@ -124,3 +124,43 @@ def test_major_axis_sampling_runs():
     nv = int(valid.sum())
     assert 0 < nv <= 2000
     assert cand[np.asarray(idx)[np.asarray(valid)]].all()
+
+
+def test_fps_rank_within_bins_spreads(rng):
+    """FPS ranks within each bin follow farthest-first order: the top-ranked
+    subset must span the bin's extent better than a random subset."""
+    n = 600
+    xyz = np.zeros((n, 3), np.float32)
+    xyz[:, 0] = np.linspace(0, 100, n)
+    bins = (np.arange(n) % 2).astype(np.int32)  # both bins span the full line
+    xyz[bins == 1, 1] = 50.0
+    member = np.ones(n, bool)
+    rank, counts = sampling.fps_rank_within_bins(
+        jnp.asarray(xyz), jnp.asarray(bins), jnp.asarray(member),
+        jax.random.PRNGKey(0), n_bins=2, bin_capacity=512, max_rank=8)
+    rank = np.asarray(rank)
+    np.testing.assert_array_equal(np.asarray(counts), [300, 300])
+    for b in range(2):
+        sel = xyz[(bins == b) & (rank < 8), 0]
+        assert len(sel) == 8
+        # Farthest-first picks span most of the segment and are well spread
+        # (min pairwise gap > 5 — a uniform random pick of 8/300 would
+        # frequently produce near-duplicates).
+        assert sel.max() - sel.min() > 80
+        assert np.diff(np.sort(sel)).min() > 5
+
+
+def test_major_axis_fps_strategy_runs():
+    rc = preprocessed_scan(seed=0)
+    rc2 = preprocessed_scan(seed=0)
+    p = rc.capacity
+    normals = np.tile(np.array([0, 0, 1.0], np.float32), (p, 1))
+    cand = np.asarray(rc.valid)
+    idx, valid = sampling.major_axis_sampling(
+        rc.xyz, jnp.asarray(normals), jnp.asarray(cand),
+        rc2.xyz, rc2.valid, jax.random.PRNGKey(0),
+        r=0.5, r_proj=1.5, max_total_points=2000,
+        azimuth_bins=8, elevation_bins=8, min_points_per_bin=20,
+        max_points_per_bin=200, out_size=2000, strategy="FPS")
+    nv = int(valid.sum())
+    assert 0 < nv <= 2000

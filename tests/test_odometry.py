@@ -121,3 +121,57 @@ def test_batched_driver_matches_single_frame_quality():
     assert odo.frame_count == 6
     ate = evaluate.ate_rmse(odo.poses(), gtr, align=False)
     assert ate < 0.1, f"batched ATE {ate}"
+
+
+def test_undistort_cloud_inverts_motion_distortion(rng=np.random.default_rng(0)):
+    """Distort a static cloud by per-point fractional motion (what a moving
+    sensor would record), then verify undistort_cloud recovers the original
+    geometry given the relative pose."""
+    import dataclasses as dc
+    import jax.numpy as jnp
+    from plo_tpu import geometry as geo
+    from plo_tpu.cloud import PointCloud
+    from plo_tpu.ops.undistort import undistort_cloud
+
+    n = 500
+    xyz = ((rng.random((n, 3)) - 0.5) * 40).astype(np.float32)
+    rel_time = rng.random(n).astype(np.float32)
+    rel = np.asarray(geo.make_se3(
+        jnp.asarray(np.asarray(geo.exp_so3(jnp.asarray(np.array([[0, 0, 0.02]]))))[0]),
+        jnp.asarray(np.array([0.5, 0.02, 0.0]))))
+    # Sensor moved by `rel` over the sweep: a point fired at time t appears at
+    # interp(rel, t)^-1 applied... distort with the inverse fractional pose.
+    T_frac = np.asarray(geo.interpolate_pose(jnp.asarray(rel), jnp.asarray(rel_time)))
+    distorted = np.einsum("pij,pj->pi", np.linalg.inv(T_frac)[:, :3, :3], xyz) \
+        + np.linalg.inv(T_frac)[:, :3, 3]
+
+    cloud = PointCloud.from_xyz(jnp.asarray(distorted.astype(np.float32)))
+    cloud = dc.replace(cloud, intensity=jnp.asarray(0.1 * rel_time))
+    restored = undistort_cloud(cloud, jnp.asarray(rel.astype(np.float32)))
+    np.testing.assert_allclose(np.asarray(restored.xyz), xyz, atol=1e-3)
+
+
+def test_undistortion_e2e_runs():
+    """Pipeline with undistortion enabled runs and stays finite (synthetic
+    scans are instantaneous, so no accuracy claim — the compensation model
+    assumes real sweep motion)."""
+    import dataclasses as dc
+    cfg = base_config(
+        matching_method=cfgmod.MatchingConfig(method="plane_ICP"),
+        solve_method=cfgmod.SolveConfig(method="LS", iterations=10),
+    )
+    cfg = dc.replace(cfg, laser_odometry=dc.replace(cfg.laser_odometry, undistort=True))
+    est, gt, odo = run_sequence(cfg, n_frames=3)
+    assert np.isfinite(est).all()
+
+
+def test_interpolate_pose_endpoints(rng):
+    import jax.numpy as jnp
+    from plo_tpu import geometry as geo
+    w = rng.normal(size=3) * 0.2
+    R = np.asarray(geo.exp_so3(jnp.asarray(w[None])))[0]
+    T = np.asarray(geo.make_se3(jnp.asarray(R), jnp.asarray(np.array([1.0, -2.0, 0.5]))))
+    T0 = np.asarray(geo.interpolate_pose(jnp.asarray(T), jnp.asarray(np.array([0.0]))))[0]
+    T1 = np.asarray(geo.interpolate_pose(jnp.asarray(T), jnp.asarray(np.array([1.0]))))[0]
+    np.testing.assert_allclose(T0, np.eye(4), atol=1e-5)
+    np.testing.assert_allclose(T1, T, atol=1e-4)
