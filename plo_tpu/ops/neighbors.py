@@ -221,7 +221,7 @@ def ring_neighbor_search(
     ring_start: jnp.ndarray,     # [H]
     ring_count: jnp.ndarray,     # [H]
     ring_offset: int,            # +1 / -1: which adjacent ring to search
-    window: int = 16,
+    window: int = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Nearest 3D point on an adjacent ring via an azimuth-windowed gather.
 

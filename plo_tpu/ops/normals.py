@@ -54,7 +54,7 @@ class NormalResult:
 
 
 def _adjacent_ring_index(cloud: RingCloud, offset: int, mode: str,
-                         knn_threshold: float, window: int = 16):
+                         knn_threshold: float, window: int = 8):
     """Flat index of the reference's findNearestPoint on ring r+offset
     (scan_registration.cpp:117-136). mode='kdtree': 3D NN with squared-distance
     threshold (FLANN returns squared distances). mode='index': same position
