@@ -56,6 +56,34 @@ class SyntheticWorld:
         boxes = np.stack([cx - sx / 2, cy - sy / 2, np.zeros(n_boxes), cx + sx / 2, cy + sy / 2, sz], axis=1)
         return SyntheticWorld(boxes=boxes.astype(np.float64))
 
+    @staticmethod
+    def around_path(path_xy: np.ndarray, seed: int = 0, n_boxes: int = 120,
+                    clearance: float = 6.0, spread: float = 35.0) -> "SyntheticWorld":
+        """Boxes scattered around an arbitrary trajectory with a guaranteed
+        clear driving corridor — use for curved validation paths (a straight
+        corridor world lets turning trajectories drive into walls)."""
+        rng = np.random.default_rng(seed)
+        anchors = path_xy[rng.integers(0, len(path_xy), size=n_boxes)]
+        ang = rng.uniform(0, 2 * np.pi, size=n_boxes)
+        rad = rng.uniform(clearance + 4.0, spread, size=n_boxes)
+        cx = anchors[:, 0] + rad * np.cos(ang)
+        cy = anchors[:, 1] + rad * np.sin(ang)
+        sx = rng.uniform(2.0, 12.0, size=n_boxes)
+        sy = rng.uniform(2.0, 12.0, size=n_boxes)
+        sz = rng.uniform(3.0, 15.0, size=n_boxes)
+        boxes = np.stack([cx - sx / 2, cy - sy / 2, np.zeros(n_boxes),
+                          cx + sx / 2, cy + sy / 2, sz], axis=1)
+        # Reject any box overlapping the swept corridor.
+        keep = np.ones(n_boxes, bool)
+        for i in range(n_boxes):
+            b = boxes[i]
+            nearx = np.clip(path_xy[:, 0], b[0], b[3])
+            neary = np.clip(path_xy[:, 1], b[1], b[4])
+            d = np.hypot(nearx - path_xy[:, 0], neary - path_xy[:, 1])
+            if d.min() < clearance:
+                keep[i] = False
+        return SyntheticWorld(boxes=boxes[keep].astype(np.float64))
+
     def raycast(self, origins: np.ndarray, dirs: np.ndarray, max_range: float) -> np.ndarray:
         """Distance along each ray to the nearest surface ([R] float64;
         np.inf where nothing is hit within max_range)."""
@@ -135,20 +163,25 @@ def synthetic_sequence(
 
     The sensor drives forward at `speed` m/frame with constant yaw rate.
     """
-    world = world or SyntheticWorld.corridor(seed=seed)
-    scans = []
+    # Trajectory first, so a generated world can be carved around it.
+    # `speed` may be a scalar (constant m/frame) or per-frame array (e.g. a
+    # standstill-start ramp, like real drive logs).
+    speeds = np.broadcast_to(np.asarray(speed, np.float64), (n_frames,))
     poses = np.zeros((n_frames, 4, 4))
     x, y, yaw = 0.0, 0.0, 0.0
     for i in range(n_frames):
         c, s = np.cos(yaw), np.sin(yaw)
-        T = np.array(
+        poses[i] = np.array(
             [[c, -s, 0, x], [s, c, 0, y], [0, 0, 1, sensor_height], [0, 0, 0, 1.0]]
         )
-        poses[i] = T
-        scans.append(
-            render_scan(world, T, n_scans=n_scans, azimuth_steps=azimuth_steps, seed=seed + i)
-        )
-        x += speed * np.cos(yaw)
-        y += speed * np.sin(yaw)
+        x += speeds[i] * np.cos(yaw)
+        y += speeds[i] * np.sin(yaw)
         yaw += yaw_rate
+    if world is None:
+        world = SyntheticWorld.around_path(poses[:, :2, 3], seed=seed)
+    scans = [
+        render_scan(world, poses[i], n_scans=n_scans, azimuth_steps=azimuth_steps,
+                    seed=seed + i)
+        for i in range(n_frames)
+    ]
     return scans, poses

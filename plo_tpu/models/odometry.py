@@ -101,7 +101,9 @@ def _make_icp_step(cfg: Config, jit: bool = True):
                                  t.rotation_gnc_factor, min(t.rotation_max_iterations, 64))
         raise ValueError(f"invalid solve method {solve_method!r}")
 
-    def icp_step(flat: PointCloud, target: PointCloud, key):
+    def icp_step(flat: PointCloud, target: PointCloud, key, init_pose=None):
+        if init_pose is None:
+            init_pose = jnp.eye(4, dtype=jnp.float32)
         if use_precomputed_normals:
             tgt_normal, tgt_normal_ok = matching.precompute_target_normals(
                 target.xyz, target.valid,
@@ -138,7 +140,7 @@ def _make_icp_step(cfg: Config, jit: bool = True):
             done = ~(enough & ok) | converged  # break conditions (:571-576,611-616,643-646)
             return (i + 1, new_rpose, done, n_corr, converged)
 
-        init = (jnp.asarray(0, jnp.int32), jnp.eye(4, dtype=jnp.float32),
+        init = (jnp.asarray(0, jnp.int32), init_pose,
                 jnp.asarray(False), jnp.asarray(0, jnp.int32), jnp.asarray(False))
         i, rpose, done, n_corr, converged = jax.lax.while_loop(cond, body, init)
         return rpose, i, n_corr, converged
@@ -205,7 +207,10 @@ class Odometry:
             if self.cfg.laser_odometry.undistort and self._last_rel is not None:
                 from plo_tpu.ops.undistort import undistort_cloud
                 flat = undistort_cloud(flat, self._last_rel)
-            rpose, i, nc, converged = self.icp_step(flat, target, self._next_key())
+            init = None
+            if self.cfg.laser_odometry.motion_prior and self._last_rel is not None:
+                init = self._last_rel  # constant-velocity ICP init
+            rpose, i, nc, converged = self.icp_step(flat, target, self._next_key(), init)
             self._last_rel = rpose  # device-resident; no host sync
         else:
             rpose = jnp.eye(4, dtype=jnp.float32)
@@ -271,22 +276,26 @@ class Odometry:
         run_frontend = self.frontend.raw_fn
         icp = _make_icp_step(self.cfg, jit=False)
 
+        use_prior = self.cfg.laser_odometry.motion_prior
+
         def step(carry, inp):
-            target, last_filtered, fidx = carry
+            target, last_filtered, prior, fidx = carry
             raw, n_valid = inp
             key_f = jax.random.fold_in(self._base_key, fidx)
             fe = run_frontend(raw, n_valid, key_f, last_filtered.xyz, None,
                               last_filtered.valid, first_frame=False)
-            rpose, iters, ncorr, _ = icp(fe.flat, target, jax.random.fold_in(key_f, 1))
+            init_pose = prior if use_prior else None
+            rpose, iters, ncorr, _ = icp(fe.flat, target,
+                                         jax.random.fold_in(key_f, 1), init_pose)
             out = (rpose, iters, ncorr, fe.stats)
-            return (fe.filtered, fe.filtered, fidx + 1), out
+            return (fe.filtered, fe.filtered, rpose, fidx + 1), out
 
         @jax.jit
-        def batch_step(raws, n_valids, target, last_filtered, frame0):
-            init = (target, last_filtered, frame0)
-            (target, last_filtered, _), outs = jax.lax.scan(
+        def batch_step(raws, n_valids, target, last_filtered, prior, frame0):
+            init = (target, last_filtered, prior, frame0)
+            (target, last_filtered, prior, _), outs = jax.lax.scan(
                 step, init, (raws, n_valids))
-            return target, last_filtered, outs
+            return target, last_filtered, prior, outs
 
         return batch_step
 
@@ -316,9 +325,11 @@ class Odometry:
                 nvs[j] = n
             target = self._accumulated_target()
             frame0 = jnp.asarray(self.frame_count, jnp.int32)
-            new_target, new_last, outs = self._batch_steps[batch](
+            prior = self._last_rel if self._last_rel is not None else jnp.eye(4, dtype=jnp.float32)
+            new_target, new_last, new_prior, outs = self._batch_steps[batch](
                 jnp.asarray(raws), jnp.asarray(nvs), target,
-                self.last_filtered, frame0)
+                self.last_filtered, prior, frame0)
+            self._last_rel = new_prior
             rposes, iters, ncorrs, stats = outs
             for j in range(batch):
                 self._pending.append(

@@ -175,3 +175,25 @@ def test_interpolate_pose_endpoints(rng):
     T1 = np.asarray(geo.interpolate_pose(jnp.asarray(T), jnp.asarray(np.array([1.0]))))[0]
     np.testing.assert_allclose(T0, np.eye(4), atol=1e-5)
     np.testing.assert_allclose(T1, T, atol=1e-4)
+
+
+def test_motion_prior_mode():
+    """Constant-velocity ICP initialization: equal-or-better trajectory on a
+    fast sequence (1 m/frame)."""
+    import dataclasses as dc
+    cfg = base_config(
+        matching_method=cfgmod.MatchingConfig(method="plane_ICP"),
+        solve_method=cfgmod.SolveConfig(method="LS", iterations=20),
+    )
+    cfg = dc.replace(cfg, laser_odometry=dc.replace(cfg.laser_odometry, motion_prior=True))
+    est, gt, odo = run_sequence(cfg, n_frames=5, speed=1.0)
+    ate = evaluate.ate_rmse(est, gt, align=False)
+    assert ate < 0.1, f"ATE {ate}"
+    # Batched driver honors the prior too.
+    scans, gt2 = synthetic.synthetic_sequence(6, n_scans=64, azimuth_steps=900,
+                                              speed=1.0, yaw_rate=0.01, seed=3)
+    odo2 = Odometry(cfg, capacity=65536, seed=0, async_mode=True)
+    odo2.process_scans(scans, batch=4)
+    odo2.finalize()
+    gtr2 = rel_to_first(gt2)
+    assert evaluate.ate_rmse(odo2.poses(), gtr2, align=False) < 0.1
