@@ -37,6 +37,10 @@ def build_parser():
     p.add_argument("--save-artifacts", action="store_true",
                    help="per-frame cloud/marker dumps in the reference's text "
                         "formats (saver.cpp) — slow, off by default")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="save odometry state to <output>/ckpt.npz every N "
+                        "frames (resume with --resume)")
+    p.add_argument("--resume", default=None, help="checkpoint to restore before running")
     p.add_argument("--batch", type=int, default=1,
                    help="frames per device dispatch (the batched on-device "
                         "loop; >1 requires max_queue_size==1)")
@@ -87,6 +91,10 @@ def main(argv=None):
 
     odo = Odometry(cfg, capacity=args.capacity, seed=args.seed,
                    async_mode=args.batch > 1)
+    if args.resume:
+        from plo_tpu.utils import checkpoint
+        checkpoint.load(odo, args.resume)
+        print(f"resumed at frame {odo.frame_count}")
     tic = TicToc()
     if args.batch > 1:
         scan_list = list(scans)
@@ -120,6 +128,9 @@ def main(argv=None):
                     f"{i * cfg.sensor.scan_period:.6f}")
             print(f"frame {i}: {ms:7.1f} ms  iters={frame.iterations:2d} "
                   f"corr={frame.n_correspondences}")
+            if args.checkpoint_every and outdir and (i + 1) % args.checkpoint_every == 0:
+                from plo_tpu.utils import checkpoint
+                checkpoint.save(odo, os.path.join(outdir, "ckpt.npz"))
 
     import numpy as np
     poses = odo.poses()

@@ -265,39 +265,56 @@ class Odometry:
     # ------------------------------------------------------------------
     def _build_batch_step(self, batch: int):
         """One jitted program advancing `batch` frames: a lax.scan whose carry
-        holds the model cloud (the reference's accumulateTargetCloud state)
-        and the previous filtered cloud. Sequential frame semantics are
-        preserved exactly; host cost drops to one transfer + one dispatch per
-        `batch` scans — the TPU-native version of the reference's front-/back-
-        end pipelining (SURVEY.md §2.3 P1-P3). Requires max_queue_size == 1
-        (the reference's shipped setting, config.json:84)."""
-        assert self.cfg.laser_odometry.max_queue_size == 1, \
-            "batched driver currently supports max_queue_size == 1"
+        holds the model-cloud window (the reference's accumulateTargetCloud
+        state, stacked [K, P]) and the previous filtered cloud. Sequential
+        frame semantics are preserved exactly; host cost drops to one transfer
+        + one dispatch per `batch` scans — the TPU-native version of the
+        reference's front-/back-end pipelining (SURVEY.md §2.3 P1-P3)."""
         run_frontend = self.frontend.raw_fn
         icp = _make_icp_step(self.cfg, jit=False)
 
         use_prior = self.cfg.laser_odometry.motion_prior
+        k_queue = self.cfg.laser_odometry.max_queue_size
 
         def step(carry, inp):
-            target, last_filtered, prior, fidx = carry
+            window, last_filtered, prior, fidx = carry
             raw, n_valid = inp
             key_f = jax.random.fold_in(self._base_key, fidx)
             fe = run_frontend(raw, n_valid, key_f, last_filtered.xyz, None,
                               last_filtered.valid, first_frame=False)
+            # Target = concat of the window slots (invalid-padded slots
+            # contribute nothing — accumulateTargetCloud semantics while the
+            # queue is still filling, laser_odometry.cpp:126-135).
+            target = jax.tree_util.tree_map(
+                lambda a: a.reshape((-1,) + a.shape[2:]), window)
             init_pose = prior if use_prior else None
             rpose, iters, ncorr, _ = icp(fe.flat, target,
                                          jax.random.fold_in(key_f, 1), init_pose)
             out = (rpose, iters, ncorr, fe.stats)
-            return (fe.filtered, fe.filtered, rpose, fidx + 1), out
+            new_window = jax.tree_util.tree_map(
+                lambda a, n: jnp.concatenate([a[1:], n[None]], axis=0),
+                window, fe.filtered)
+            return (new_window, fe.filtered, rpose, fidx + 1), out
 
         @jax.jit
-        def batch_step(raws, n_valids, target, last_filtered, prior, frame0):
-            init = (target, last_filtered, prior, frame0)
-            (target, last_filtered, prior, _), outs = jax.lax.scan(
+        def batch_step(raws, n_valids, window, last_filtered, prior, frame0):
+            init = (window, last_filtered, prior, frame0)
+            (window, last_filtered, prior, _), outs = jax.lax.scan(
                 step, init, (raws, n_valids))
-            return target, last_filtered, prior, outs
+            return window, last_filtered, prior, outs
 
         return batch_step
+
+    def _window_state(self) -> PointCloud:
+        """Stack the host-side cloud queue into the device window [K, P],
+        oldest first, invalid-padded at the front while the queue fills."""
+        k = self.cfg.laser_odometry.max_queue_size
+        cap = self.frontend.capacity
+        clouds = list(self.cloud_queue)[-k:]
+        while len(clouds) < k:
+            clouds.insert(0, PointCloud.zeros(cap))
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs, axis=0), *clouds)
 
     def process_scans(self, scans, batch: int = 8):
         """Process an iterable of raw scans with the batched on-device loop.
@@ -323,11 +340,11 @@ class Odometry:
                 n = min(len(raw), cap)
                 raws[j, :n, : raw.shape[1]] = raw[:n, :4]
                 nvs[j] = n
-            target = self._accumulated_target()
+            window = self._window_state()
             frame0 = jnp.asarray(self.frame_count, jnp.int32)
             prior = self._last_rel if self._last_rel is not None else jnp.eye(4, dtype=jnp.float32)
-            new_target, new_last, new_prior, outs = self._batch_steps[batch](
-                jnp.asarray(raws), jnp.asarray(nvs), target,
+            new_window, new_last, new_prior, outs = self._batch_steps[batch](
+                jnp.asarray(raws), jnp.asarray(nvs), window,
                 self.last_filtered, prior, frame0)
             self._last_rel = new_prior
             rposes, iters, ncorrs, stats = outs
@@ -337,7 +354,10 @@ class Odometry:
                      rposes[j], iters[j], ncorrs[j],
                      {k: v[j] for k, v in stats.items()}))
             self.cloud_queue.clear()
-            self.cloud_queue.append(new_target)
+            k_queue = self.cfg.laser_odometry.max_queue_size
+            for slot in range(k_queue):
+                self.cloud_queue.append(jax.tree_util.tree_map(
+                    lambda a: a[slot], new_window))
             self.last_filtered = new_last
             self.frame_count += batch
             i += batch

@@ -77,3 +77,33 @@ def make_sharded_icp_step(cfg: Config, mesh: Mesh, axis_name: str = "points"):
         return icp(flat, target, key)
 
     return run
+
+
+def get_mesh_2d(n_hosts: int, chips_per_host: int,
+                axes=("hosts", "chips")) -> Mesh:
+    """Two-level mesh modeling a multi-slice pod: the 'hosts' axis maps to
+    DCN (across slices) and 'chips' to ICI (within a slice). Shardings that
+    put the point dimension over ('hosts', 'chips') keep the heavy all-to-one
+    reductions hierarchical: XLA reduces within a slice over ICI first, then
+    across slices over DCN."""
+    devs = np.array(jax.devices()[: n_hosts * chips_per_host]).reshape(
+        n_hosts, chips_per_host)
+    return Mesh(devs, axes)
+
+
+def make_sharded_icp_step_2d(cfg: Config, mesh: Mesh):
+    """ICP step sharded over a (hosts, chips) mesh: source points sharded over
+    BOTH axes (the flattened product), target replicated."""
+    from plo_tpu.models.odometry import _make_icp_step
+
+    icp = _make_icp_step(cfg, jit=False)
+    point_sharding = NamedSharding(mesh, P(mesh.axis_names))
+    repl = NamedSharding(mesh, P())
+    jitted = jax.jit(icp)
+
+    def run(flat: PointCloud, target: PointCloud, key):
+        flat = jax.tree_util.tree_map(lambda x: jax.device_put(x, point_sharding), flat)
+        target = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), target)
+        return jitted(flat, target, jax.device_put(key, repl))
+
+    return run

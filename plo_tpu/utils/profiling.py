@@ -41,3 +41,27 @@ class MetricsLog:
         if self.path:
             with open(self.path, "a") as f:
                 f.write(json.dumps(record) + "\n")
+
+
+class DeviceTrace:
+    """jax.profiler trace context — the deep-tracing complement to TicToc
+    (SURVEY.md §5 tracing subsystem): writes a TensorBoard-compatible device
+    trace of everything executed inside the context.
+
+    Usage:
+        with DeviceTrace("/tmp/trace"):
+            odo.process_scan(scan)
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        import jax
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+        jax.profiler.stop_trace()
+        return False

@@ -197,3 +197,22 @@ def test_motion_prior_mode():
     odo2.finalize()
     gtr2 = rel_to_first(gt2)
     assert evaluate.ate_rmse(odo2.poses(), gtr2, align=False) < 0.1
+
+
+def test_batched_driver_multi_queue():
+    """max_queue_size=2: the batched driver's rolling window must match the
+    per-frame path's accumulated 2-frame target (identical ATE class)."""
+    import dataclasses as dc
+    cfg = base_config(
+        matching_method=cfgmod.MatchingConfig(method="plane_ICP"),
+        solve_method=cfgmod.SolveConfig(method="LS", iterations=20),
+    )
+    cfg = dc.replace(cfg, laser_odometry=dc.replace(cfg.laser_odometry, max_queue_size=2))
+    scans, gt = synthetic.synthetic_sequence(
+        6, n_scans=64, azimuth_steps=900, speed=0.5, yaw_rate=0.01, seed=3)
+    gtr = rel_to_first(gt)
+    odo = Odometry(cfg, capacity=32768, seed=0, async_mode=True)
+    odo.process_scans(scans, batch=4)
+    odo.finalize()
+    ate = evaluate.ate_rmse(odo.poses(), gtr, align=False)
+    assert ate < 0.1, f"ATE {ate}"

@@ -108,3 +108,21 @@ def test_ba_distributed_matches_single(rng):
     dist = dist_fn(jnp.asarray(init), jnp.asarray(src), jnp.asarray(ref),
                    jnp.asarray(nrm), jnp.asarray(val))
     np.testing.assert_allclose(np.asarray(single), np.asarray(dist), atol=1e-4)
+
+
+def test_sharded_icp_2d_mesh_matches_single(rng):
+    """Multi-slice design check: (2 hosts x 4 chips) mesh, point dimension
+    sharded over both axes, must match the single-device result."""
+    from plo_tpu.parallel.sharding import get_mesh_2d, make_sharded_icp_step_2d
+
+    cfg = _cfg()
+    flat, target = _clouds(rng)
+    key = jax.random.PRNGKey(0)
+    single = _make_icp_step(cfg)
+    r1, i1, c1, _ = single(flat, target, key)
+
+    mesh = get_mesh_2d(2, 4)
+    step = make_sharded_icp_step_2d(cfg, mesh)
+    r2, i2, c2, _ = step(flat, target, key)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-4)
+    assert int(c1) == int(c2)
