@@ -55,7 +55,7 @@ class FrontEnd:
         self.width = cfg.grid_width
         fov_up, fov_down = _FOV[cfg.sensor.n_scans]
         self._ri_engine: Optional[normals_ops.RangeImageNormals] = None
-        if self.format == "range_image":
+        if self.format == "range_image" and self.normal_method in ("FALS", "SRI"):
             ws = (sr.compute_normal_method.fals.window_size
                   if self.normal_method == "FALS"
                   else sr.compute_normal_method.sri.window_size)
@@ -115,28 +115,44 @@ class FrontEnd:
             elif self.format == "range_image":
                 rng_img, xyzg, relg, occ, srcg = pre_ops.rasterize_range_image(
                     rc, self.height, self.width)
+                hw = self.height * self.width
+                grid_eigvals = jnp.zeros((hw, 3), jnp.float32)
+                plane_fail = jnp.zeros((hw,), bool)
                 if self.normal_method == "FALS":
                     nrm, ok = ri.fals(rng_img)
                 elif self.normal_method == "SRI":
                     nrm, ok = ri.sri(rng_img)
+                elif self.normal_method == "pca":
+                    # TPU-native grid-stencil PCA (extension beyond the
+                    # reference's FALS/SRI range-image methods): same math as
+                    # the pointcloud/pca path, neighbor structure = the
+                    # azimuth-aligned grid, zero gather ops.
+                    nrm, gev, eigvecs_g, keep, pfail = normals_ops.compute_normals_pca_grid(
+                        xyzg, occ, cn.pca, sr.use_all_points)
+                    ok = keep & occ
+                    nrm = jnp.where(ok[..., None], nrm, 0.0)
+                    grid_eigvals = jnp.where(ok[..., None], gev, 0.0).reshape(hw, 3)
+                    plane_fail = (pfail & occ).reshape(hw)
+                    eigvecs = eigvecs_g.reshape(hw, 3, 3)
                 else:
                     raise ValueError(f"invalid normal method {self.normal_method!r}")
-                hw = self.height * self.width
                 ring = jnp.repeat(jnp.arange(self.height, dtype=jnp.float32), self.width)
                 rel_flat = relg.reshape(hw)
-                # Carry the stage-1 curvature of each cell's winning point
-                # (the reference copies laserCloud curvature into the filtered
-                # cloud on the range-image paths, scan_registration.cpp:1324).
-                curv_flat = curv[srcg.reshape(hw)]
+                if self.presample_method == "curvature":
+                    # Carry the stage-1 curvature of each cell's winning point
+                    # (the reference copies laserCloud curvature into the
+                    # filtered cloud, scan_registration.cpp:1324).
+                    curv_flat = curv[srcg.reshape(hw)]
+                else:
+                    curv_flat = jnp.zeros((hw,), jnp.float32)
                 cloud = PointCloud(
                     xyz=xyzg.reshape(hw, 3),
                     normal=nrm.reshape(hw, 3),
                     intensity=ring + 0.1 * rel_flat,
                     curvature=jnp.where(ok.reshape(hw), curv_flat, 0.0),
-                    eigvals=jnp.zeros((hw, 3), jnp.float32),
+                    eigvals=grid_eigvals,
                     valid=ok.reshape(hw),
                 )
-                plane_fail = jnp.zeros((hw,), bool)
             else:
                 raise ValueError(f"invalid data format {self.format!r}")
 

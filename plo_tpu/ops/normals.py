@@ -233,6 +233,178 @@ def compute_normals_cross_product(cloud: RingCloud, cfg: CrossProductConfig) -> 
 
 
 # ---------------------------------------------------------------------------
+# Grid-stencil PCA (TPU-native fast path, format="range_image" method="pca")
+# ---------------------------------------------------------------------------
+
+def _col_shift(a: jnp.ndarray, t: int) -> jnp.ndarray:
+    """out[h, w] = a[h, w+t] with zero fill (no azimuth wrap, mirroring the
+    reference's non-wrapping stored-sequence windows)."""
+    if t == 0:
+        return a
+    w = a.shape[1]
+    pad = [(0, 0)] * a.ndim
+    if t > 0:
+        pad[1] = (0, t)
+        return jnp.pad(a, pad)[:, t : t + w]
+    pad[1] = (-t, 0)
+    return jnp.pad(a, pad)[:, :w]
+
+
+def _row_shift(a: jnp.ndarray, r: int) -> jnp.ndarray:
+    """out[h, w] = a[h+r, w] with zero fill."""
+    if r == 0:
+        return a
+    h = a.shape[0]
+    pad = [(0, 0)] * a.ndim
+    if r > 0:
+        pad[0] = (0, r)
+        return jnp.pad(a, pad)[r : r + h]
+    pad[0] = (-r, 0)
+    return jnp.pad(a, pad)[:h]
+
+
+@partial(jax.jit, static_argnames=("window_size", "iter_step", "search_window",
+                                   "use_all_points"))
+def _pca_grid_impl(xyzg: jnp.ndarray, occ: jnp.ndarray, window_size: int,
+                   iter_step: int, search_window: int,
+                   knn_distance_threshold: float, distance_threshold: float,
+                   valid_points_threshold: float, use_all_points: bool):
+    """PCA normals on the rasterized (ring x azimuth) grid with pure shift
+    stencils — the TPU-native re-design of the reference's per-point
+    kd-tree/window loop (scan_registration.cpp:117-229, :1161-1229).
+
+    Same math as `_pca_impl` (own-ring +-window, nearest point on rings
+    above/below with a +-window around it, 3x3 covariance eigh, plane-validity
+    check, +z flip), but the neighbor structure is the azimuth-aligned grid:
+      * own-ring window     -> constant column shifts;
+      * adjacent-ring NN    -> argmin of distance over column shifts of the
+                               row above/below (replaces the kd-tree);
+      * window around NN    -> masked moment sums over the same shift stack
+                               (slot selected iff shift - s* is a window
+                               offset) — no gather ops anywhere.
+    All moments are centered on the cell's own point, so f32 is exact to
+    window scale. Cells whose 3 x n_win window is not fully occupied fail
+    (`full`), matching the reference's complete-window requirement.
+
+    Returns (normal [H,W,3], eigvals [H,W,3] desc, eigvecs [H,W,3,3],
+    keep [H,W], plane_fail [H,W]).
+    """
+    offs = list(range(-window_size, window_size + 1, iter_step))
+    n_win = len(offs)
+    num = 3 * n_win
+    h, w = occ.shape
+    sw = search_window
+    t_lo, t_hi = offs[0] - sw, offs[-1] + sw
+
+    center = xyzg
+    occf = occ.astype(jnp.float32)
+
+    # Row-shifted neighbors (ring above = row-1, below = row+1).
+    up_xyz, up_occ = _row_shift(xyzg, -1), _row_shift(occf, -1)
+    dn_xyz, dn_occ = _row_shift(xyzg, +1), _row_shift(occf, +1)
+
+    # --- adjacent-ring NN over column shifts s in [-sw, sw] ----------------
+    def nn_scan(adj_xyz, adj_occ):
+        best_d2 = jnp.full((h, w), jnp.inf, jnp.float32)
+        best_s = jnp.zeros((h, w), jnp.int32)
+        for s in range(-sw, sw + 1):
+            cx = _col_shift(adj_xyz, s)
+            co = _col_shift(adj_occ, s) > 0.5
+            diff = cx - center
+            d2 = jnp.sum(diff * diff, axis=-1)
+            d2 = jnp.where(co, d2, jnp.inf)
+            take = d2 < best_d2
+            best_d2 = jnp.where(take, d2, best_d2)
+            best_s = jnp.where(take, s, best_s)
+        found = jnp.isfinite(best_d2) & (best_d2 < knn_distance_threshold)
+        return best_s, found
+
+    up_s, up_found = nn_scan(up_xyz, up_occ)
+    dn_s, dn_found = nn_scan(dn_xyz, dn_occ)
+
+    # --- pass 1: centered moments over the three windows --------------------
+    # Slot membership: own ring at shift t iff t in offs; adjacent ring at
+    # shift t iff (t - s*) in offs. Centered on the cell's own point.
+    def moments():
+        cnt = jnp.zeros((h, w), jnp.float32)
+        s1 = jnp.zeros((h, w, 3), jnp.float32)
+        s2 = jnp.zeros((h, w, 3, 3), jnp.float32)
+        for t in range(t_lo, t_hi + 1):
+            q_parts = []
+            w_parts = []
+            if t in offs:  # own ring
+                q_parts.append(_col_shift(xyzg, t) - center)
+                w_parts.append(_col_shift(occf, t))
+            # adjacent rings: membership depends on s*
+            for adj_xyz, adj_occ, s_star, fnd in (
+                (up_xyz, up_occ, up_s, up_found), (dn_xyz, dn_occ, dn_s, dn_found)):
+                rel = t - s_star
+                member = jnp.zeros((h, w), bool)
+                for o in offs:
+                    member = member | (rel == o)
+                wgt = jnp.where(member & fnd, _col_shift(adj_occ, t), 0.0)
+                q_parts.append(_col_shift(adj_xyz, t) - center)
+                w_parts.append(wgt)
+            for q, wgt in zip(q_parts, w_parts):
+                cnt = cnt + wgt
+                s1 = s1 + q * wgt[..., None]
+                s2 = s2 + (q[..., :, None] * q[..., None, :]) * wgt[..., None, None]
+        return cnt, s1, s2
+
+    cnt, s1, s2 = moments()
+    eligible = occ & (jnp.arange(h)[:, None] >= 1) & (jnp.arange(h)[:, None] <= h - 2)
+    rowcnt = jnp.sum(occ, axis=1)
+    size_ok = ((rowcnt >= 17) & (_row_shift(rowcnt[:, None], -1)[:, 0] >= 17)
+               & (_row_shift(rowcnt[:, None], +1)[:, 0] >= 17))
+    eligible = eligible & size_ok[:, None]
+    full = eligible & (cnt == num)
+
+    denom = jnp.maximum(cnt, 1.0)
+    mu_q = s1 / denom[..., None]
+    cov = (s2 - denom[..., None, None] * (mu_q[..., :, None] * mu_q[..., None, :])
+           ) / jnp.maximum(denom - 1.0, 1.0)[..., None, None]
+
+    eigvals, eigvecs = eigh3_descending(cov.reshape(-1, 3, 3))
+    eigvals = eigvals.reshape(h, w, 3)
+    eigvecs = eigvecs.reshape(h, w, 3, 3)
+    normal = eigvecs[..., :, 2]
+
+    # --- pass 2: plane-validity count (scan_registration.cpp:138-156) -------
+    def plane_count():
+        n_close = jnp.zeros((h, w), jnp.float32)
+        for t in range(t_lo, t_hi + 1):
+            if t in offs:
+                q = _col_shift(xyzg, t) - center
+                d = jnp.abs(jnp.sum((q - mu_q) * normal, axis=-1))
+                n_close = n_close + jnp.where(d < distance_threshold,
+                                              _col_shift(occf, t), 0.0)
+            for adj_xyz, adj_occ, s_star, fnd in (
+                (up_xyz, up_occ, up_s, up_found), (dn_xyz, dn_occ, dn_s, dn_found)):
+                rel = t - s_star
+                member = jnp.zeros((h, w), bool)
+                for o in offs:
+                    member = member | (rel == o)
+                wgt = jnp.where(member & fnd, _col_shift(adj_occ, t), 0.0)
+                q = _col_shift(adj_xyz, t) - center
+                d = jnp.abs(jnp.sum((q - mu_q) * normal, axis=-1))
+                n_close = n_close + jnp.where(d < distance_threshold, wgt, 0.0)
+        return n_close
+
+    n_close = plane_count()
+    plane_ok = n_close >= valid_points_threshold * cnt
+
+    flip = jnp.where(normal[..., 2:3] < 0, -1.0, 1.0)
+    normal = normal * flip
+    nrm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = normal / jnp.maximum(nrm, 1e-12)
+
+    plane_fail = full & ~plane_ok
+    keep = full if use_all_points else (full & plane_ok)
+    eigvals = jnp.where(plane_fail[..., None], -1.0, eigvals)
+    return normal, eigvals, eigvecs, keep, plane_fail
+
+
+# ---------------------------------------------------------------------------
 # Range-image methods (FALS / SRI)
 # ---------------------------------------------------------------------------
 
@@ -338,6 +510,16 @@ def _sri_impl(rng_img: jnp.ndarray, vertical: jnp.ndarray, rhat: jnp.ndarray,
     normal = normal / jnp.maximum(nn, 1e-12)
     normal = normal * jnp.where(normal[..., 2:3] < 0, -1.0, 1.0)
     return normal, ok
+
+
+def compute_normals_pca_grid(xyzg: jnp.ndarray, occ: jnp.ndarray, cfg: PCAConfig,
+                             use_all_points: bool, search_window: int = 8):
+    """Grid-stencil PCA on the rasterized range image (see `_pca_grid_impl`)."""
+    return _pca_grid_impl(
+        xyzg, occ, cfg.window_size, cfg.iter_step, search_window,
+        cfg.knn_distance_threshold, cfg.plane_constraint.distance_threshold,
+        cfg.plane_constraint.valid_points_threshold, use_all_points,
+    )
 
 
 def sri_rhat(height: int, width: int, fov_up_deg: float, fov_down_deg: float) -> np.ndarray:

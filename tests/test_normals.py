@@ -104,3 +104,55 @@ def test_sri_normals_run():
     n_ok = np.asarray(nrm)[ok_np]
     assert np.isfinite(n_ok).all()
     assert (n_ok[:, 2] >= -1e-6).all()
+
+
+# ---------------------------------------------------------------------------
+# Grid-stencil PCA (TPU-native fast path; format="range_image" method="pca")
+# ---------------------------------------------------------------------------
+
+def _grid_pca(rc, width, use_all_points=True, cfg=None):
+    _, xyzg, _, occ, _ = preprocess.rasterize_range_image(rc, 64, width)
+    return normals.compute_normals_pca_grid(
+        xyzg, occ, cfg or cfgmod.PCAConfig(), use_all_points), xyzg, occ
+
+
+def test_grid_pca_ground_plane():
+    width = 720
+    rc = preprocessed_scan(azimuth_steps=width)
+    (nrm, eigvals, eigvecs, keep, plane_fail), xyzg, occ = _grid_pca(rc, width)
+    keep = np.asarray(keep)
+    assert keep.sum() > 1000
+    z = np.asarray(xyzg)[..., 2]
+    g = keep & (np.abs(z + 1.7) < 0.05)
+    assert g.sum() > 500
+    n = np.asarray(nrm)[g]
+    assert (n[:, 2] > 0.95).mean() > 0.9
+    nv = np.asarray(nrm)[keep]
+    np.testing.assert_allclose(np.linalg.norm(nv, axis=1), 1.0, atol=1e-4)
+    assert (nv[:, 2] >= -1e-6).all()  # +z hemisphere flip
+    ev = np.asarray(eigvals)[keep & ~np.asarray(plane_fail)]
+    assert (np.diff(ev, axis=1) <= 1e-5).all()  # descending
+
+
+def test_grid_pca_matches_compact_pca():
+    """Grid-stencil PCA agrees with the compact-layout reference-parity PCA on
+    a dense scan (same points -> same neighborhoods up to grid alignment)."""
+    width = 720
+    rc = preprocessed_scan(azimuth_steps=width)
+    (nrm, _, _, keep, _), xyzg, _ = _grid_pca(rc, width)
+    res = normals.compute_normals_pca(rc, cfgmod.PCAConfig(), use_all_points=True)
+
+    cv = np.asarray(res.cloud.valid)
+    cx = np.round(np.asarray(res.cloud.xyz)[cv], 4)
+    cn = np.asarray(res.cloud.normal)[cv]
+    lookup = {tuple(p): q for p, q in zip(map(tuple, cx), cn)}
+
+    gk = np.asarray(keep).reshape(-1)
+    gx = np.round(np.asarray(xyzg).reshape(-1, 3)[gk], 4)
+    gn = np.asarray(nrm).reshape(-1, 3)[gk]
+    dots = [abs(np.dot(q, lookup[tuple(p)]))
+            for p, q in zip(map(tuple, gx), gn) if tuple(p) in lookup]
+    dots = np.array(dots)
+    assert len(dots) > 5000
+    assert dots.mean() > 0.99
+    assert (dots > 0.999).mean() > 0.9

@@ -216,3 +216,27 @@ def test_batched_driver_multi_queue():
     odo.finalize()
     ate = evaluate.ate_rmse(odo.poses(), gtr, align=False)
     assert ate < 0.1, f"ATE {ate}"
+
+
+def test_grid_pca_frontend_e2e():
+    """TPU-fast frontend (format=range_image, method=pca: grid-stencil PCA)
+    drives the full IMLS+RANSAC/DRPM pipeline to the same mm-level ATE as the
+    compact-layout parity path."""
+    cfg = cfgmod.Config(
+        scan_registration=cfgmod.ScanRegistrationConfig(
+            compute_normal_method=cfgmod.ComputeNormalConfig(
+                format="range_image", method="pca"),
+            presample_method=cfgmod.PresampleConfig(method="geometric_features"),
+            sample_method=cfgmod.SampleConfig(
+                method="random", random=cfgmod.RandomSampleConfig(max_points=2000)),
+        ),
+        laser_odometry=cfgmod.LaserOdometryConfig(
+            matching_method=cfgmod.MatchingConfig(method="IMLS"),
+            solve_method=cfgmod.SolveConfig(method="LS", iterations=30),
+        ),
+        sensor=cfgmod.SensorConfig(n_scans=64, azimuth_resolution=0.4),
+    )
+    world = synthetic.SyntheticWorld.corridor(seed=7, n_boxes=140, extent=120.0)
+    est, gt, _ = run_sequence(cfg, n_frames=4, world=world)
+    ate = evaluate.ate_rmse(est, gt, align=False)
+    assert ate < 0.05, f"ATE {ate}"
