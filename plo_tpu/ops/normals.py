@@ -512,6 +512,40 @@ def _sri_impl(rng_img: jnp.ndarray, vertical: jnp.ndarray, rhat: jnp.ndarray,
     return normal, ok
 
 
+@partial(jax.jit, static_argnames=("window_size",))
+def _curvature_map_impl(rng_img: jnp.ndarray, az: jnp.ndarray, ve: jnp.ndarray,
+                        window_size: int) -> jnp.ndarray:
+    """Range-image curvature map (range_image.cpp:263-322).
+
+    Per pixel: reconstruct the 3-D point from (r, azimuth, vertical), sum
+    (neighbor - center) over +-window_size rows of the SAME column (the
+    reference's column loop is commented out), skipping unoccupied (inf)
+    neighbors; curvature = ||sum||^2. Border rows/cols stay 0, as do
+    unoccupied centers. Implemented as a pure vertical shift stencil —
+    no gathers. Unused by the reference pipeline (SURVEY.md §1 vestigial
+    surface) but part of the RangeImage public API (range_image.h:12-59).
+    """
+    h, w = rng_img.shape
+    occ = jnp.isfinite(rng_img)
+    r_safe = jnp.where(occ, rng_img, 0.0)
+    # p = [r cos(ve) cos(az), r cos(ve) sin(az), r sin(ve)]
+    pts = r_safe[..., None] * jnp.stack(
+        [jnp.cos(ve) * jnp.cos(az), jnp.cos(ve) * jnp.sin(az), jnp.sin(ve)], axis=-1)
+    diff = jnp.zeros_like(pts)
+    cnt = jnp.zeros(rng_img.shape, jnp.float32)
+    for di in range(-window_size, window_size + 1):
+        n_pts = _shifted(pts, di, 0, 0.0)
+        n_occ = _shifted(occ, di, 0, False)
+        diff = diff + jnp.where(n_occ[..., None], n_pts - pts, 0.0)
+        cnt = cnt + n_occ
+    curv = jnp.sum(diff * diff, axis=-1)
+    rr = jnp.arange(h)[:, None]
+    cc = jnp.arange(w)[None, :]
+    interior = (rr >= window_size) & (rr < h - window_size) & \
+               (cc >= window_size) & (cc < w - window_size)
+    return jnp.where(occ & interior, curv, 0.0)
+
+
 def compute_normals_pca_grid(xyzg: jnp.ndarray, occ: jnp.ndarray, cfg: PCAConfig,
                              use_all_points: bool, search_window: int = 8):
     """Grid-stencil PCA on the rasterized range image (see `_pca_grid_impl`)."""
@@ -548,6 +582,7 @@ class RangeImageNormals:
                  window_size: int):
         az, ve = angle_matrices(height, width, fov_up_deg, fov_down_deg)
         self.window_size = window_size
+        self.azimuth = jnp.asarray(az)
         self.vertical = jnp.asarray(ve)
         self.v = jnp.asarray(_v_field(az, ve))
         self.m_inv = jnp.asarray(fals_m_inv(height, width, window_size, fov_up_deg, fov_down_deg))
@@ -558,3 +593,7 @@ class RangeImageNormals:
 
     def sri(self, rng_img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         return _sri_impl(rng_img, self.vertical, self.rhat, self.window_size)
+
+    def curvature_map(self, rng_img: jnp.ndarray, window_size: int = None) -> jnp.ndarray:
+        ws = self.window_size if window_size is None else window_size
+        return _curvature_map_impl(rng_img, self.azimuth, self.vertical, ws)

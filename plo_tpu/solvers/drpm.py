@@ -13,6 +13,8 @@ here; boost::math::cdf becomes jax.scipy.stats.norm.cdf.
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax.scipy.stats import norm
@@ -68,6 +70,32 @@ def signal_to_noise_probabilities(H, noise_mean, noise_var, U):
     prob = norm.cdf(test_point, loc=expected_noise, scale=jnp.maximum(stdev, 1e-20))
     bad = ~(jnp.isfinite(expected_noise) & jnp.isfinite(stdev) & jnp.isfinite(test_point))
     return jnp.where(bad, 0.0, prob)
+
+
+@partial(jax.jit, static_argnames=("robust",))
+def estimate_normal(points, st_dev_point, robust: bool = False):
+    """degeneracy::EstimateNormal (degeneracy.h:134-170) — plane-fit normal
+    with uncertainty. Unused by the reference pipeline (SURVEY.md §1
+    vestigial surface) but part of the degeneracy namespace's public API.
+
+    points: [N, 3] (the reference takes a fixed-size 3xN Eigen matrix).
+    Returns (normal [3], variance, distance_to_origin, covariance_of_normal
+    [3, 3]). Batch over point sets with jax.vmap.
+    """
+    n = points.shape[0]
+    mean = jnp.mean(points, axis=0)
+    cov = points.T @ points / n - jnp.outer(mean, mean)
+    eigvals, eigvecs = jnp.linalg.eigh(cov)  # ascending, as Eigen's solver
+    normal = eigvecs[:, 0]
+    mid, mx = eigvals[1], eigvals[2]
+    if robust:
+        mid = jnp.maximum(mid - st_dev_point**2, 1e-7)
+        mx = jnp.maximum(mx - st_dev_point**2, 1e-7)
+    variance = st_dev_point**2 / (n * mid)
+    distance_to_origin = normal @ mean
+    d = jnp.stack([jnp.zeros(()), 1.0 / mid, 1.0 / mx])
+    cov_normal = st_dev_point**2 / n * (eigvecs * d[None, :]) @ eigvecs.T
+    return normal, variance, distance_to_origin, cov_normal
 
 
 @jax.jit

@@ -156,3 +156,35 @@ def test_grid_pca_matches_compact_pca():
     assert len(dots) > 5000
     assert dots.mean() > 0.99
     assert (dots > 0.999).mean() > 0.9
+
+
+def test_curvature_map_oracle():
+    """Curvature map vs a direct float64 NumPy re-derivation of the reference
+    semantics (range_image.cpp:263-322): same-column +-window sum of
+    (neighbor - center), squared norm; inf neighbors skipped; borders 0."""
+    H, W, ws = 16, 32, 2
+    rng = np.random.default_rng(3)
+    img = rng.uniform(5.0, 50.0, (H, W)).astype(np.float32)
+    img[rng.random((H, W)) < 0.2] = np.inf
+    engine = normals.RangeImageNormals(H, W, fov_up_deg=2.0, fov_down_deg=-24.33, window_size=ws)
+    got = np.asarray(engine.curvature_map(jnp.asarray(img)))
+
+    az = np.asarray(engine.azimuth)
+    ve = np.asarray(engine.vertical)
+
+    def pt(r, c):
+        rr = float(img[r, c])
+        t, p = az[r, c], ve[r, c]
+        return rr * np.array([np.cos(p) * np.cos(t), np.cos(p) * np.sin(t), np.sin(p)])
+
+    want = np.zeros((H, W))
+    for r in range(ws, H - ws):
+        for c in range(ws, W - ws):
+            if not np.isfinite(img[r, c]):
+                continue
+            d = np.zeros(3)
+            for i in range(-ws, ws + 1):
+                if np.isfinite(img[r + i, c]):
+                    d += pt(r + i, c) - pt(r, c)
+            want[r, c] = d @ d
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-3)

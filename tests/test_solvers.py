@@ -5,6 +5,7 @@ from scipy.stats import norm as scipy_norm
 
 from plo_tpu import geometry as geo
 from plo_tpu import solvers
+from plo_tpu.solvers import drpm
 
 
 def planar_problem(rng, n=500, angle=0.01, trans=0.05, noise=0.0, n_outliers=0):
@@ -188,3 +189,31 @@ def test_gnc_tls_robust(rng):
                                   jnp.ones(300, bool), noise_bound=0.05)
     assert bool(ok)
     check_transform(T, R, t, atol=2e-2)
+
+
+def test_estimate_normal_plane_fit():
+    """degeneracy::EstimateNormal (degeneracy.h:134-170): plane-fit normal,
+    variance, origin distance, and normal covariance vs float64 oracle."""
+    rng = np.random.default_rng(5)
+    n = 64
+    pts = np.zeros((n, 3))
+    pts[:, 0] = rng.uniform(-2, 2, n)
+    pts[:, 1] = rng.uniform(-1, 1, n)
+    pts[:, 2] = 3.0 + 0.01 * rng.standard_normal(n)
+    nrm, var, dist, cov = drpm.estimate_normal(jnp.asarray(pts, jnp.float32), 0.01)
+    nrm, var, dist, cov = map(np.asarray, (nrm, var, dist, cov))
+
+    mean = pts.mean(axis=0)
+    c = pts.T @ pts / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(c)
+    want_n = v[:, 0]
+    assert abs(abs(nrm @ want_n) - 1.0) < 1e-3
+    assert abs(abs(nrm[2]) - 1.0) < 1e-2  # plane is ~horizontal
+    np.testing.assert_allclose(var, 0.01**2 / (n * w[1]), rtol=1e-2)
+    np.testing.assert_allclose(dist, nrm @ mean, rtol=1e-4, atol=1e-5)
+    want_cov = 0.01**2 / n * v @ np.diag([0.0, 1 / w[1], 1 / w[2]]) @ v.T
+    np.testing.assert_allclose(cov, want_cov, atol=1e-5)
+
+    # robust=True subtracts the noise floor from the eigenvalues
+    _, var_r, _, _ = drpm.estimate_normal(jnp.asarray(pts, jnp.float32), 0.01, robust=True)
+    assert float(var_r) >= float(var) - 1e-12
