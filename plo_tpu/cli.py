@@ -75,6 +75,10 @@ def main(argv=None):
         pose_file = os.path.join(args.kitti_root, "poses", f"{args.seq}.txt")
         if os.path.exists(pose_file):
             gt = kitti.read_poses(pose_file)
+            calib = os.path.join(args.kitti_root, "sequences", args.seq, "calib.txt")
+            if os.path.exists(calib):
+                # KITTI GT is cam0-frame; odometry runs in the velodyne frame.
+                gt = kitti.poses_to_velodyne_frame(gt, kitti.read_calib_tr(calib))
     else:
         from plo_tpu.io import synthetic
         n = args.frames or 20
@@ -140,7 +144,9 @@ def main(argv=None):
 
     if args.eval_gt and gt is not None:
         n = len(poses)
-        gtr = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt[:n])
+        s = args.start if args.dataset == "kitti" else 0
+        gtw = gt[s : s + n]
+        gtr = np.einsum("ij,njk->nik", np.linalg.inv(gtw[0]), gtw)
         ate = evaluate.ate_rmse(poses, gtr, align=False)
         terr, rerr = evaluate.rpe(poses, gtr)
         print(json.dumps({"ate_m": ate, "rpe_trans_m": terr, "rpe_rot_rad": rerr}))

@@ -29,6 +29,26 @@ def read_poses(path: str) -> np.ndarray:
     return poses
 
 
+def read_calib_tr(path: str) -> np.ndarray:
+    """Read the velodyne->cam0 extrinsic `Tr` from a KITTI sequence calib.txt
+    as a 4x4. Ground-truth poses live in the cam0 frame; odometry estimated in
+    the velodyne frame compares via T_velo = Tr^-1 . T_cam . Tr."""
+    with open(path) as f:
+        for line in f:
+            if line.startswith("Tr"):
+                vals = np.fromstring(line.split(":", 1)[1], sep=" ")
+                tr = np.eye(4)
+                tr[:3, :4] = vals.reshape(3, 4)
+                return tr
+    raise ValueError(f"no 'Tr' line in {path}")
+
+
+def poses_to_velodyne_frame(poses_cam: np.ndarray, tr: np.ndarray) -> np.ndarray:
+    """Conjugate cam0-frame GT poses into the velodyne frame."""
+    tr_inv = np.linalg.inv(tr)
+    return np.einsum("ij,njk,kl->nil", tr_inv, poses_cam, tr)
+
+
 def kitti_scan_iterator(
     root: str, sequence: str = "00", start: int = 0, count: Optional[int] = None
 ) -> Iterator[Tuple[int, np.ndarray]]:

@@ -30,3 +30,47 @@ def test_cli_synthetic_run(tmp_path):
     # ATE JSON line on stdout.
     ate_line = [l for l in out.stdout.strip().split("\n") if l.startswith("{")][-1]
     assert "ate_m" in json.loads(ate_line)
+
+
+def test_cli_kitti_layout(tmp_path):
+    """End-to-end over the on-disk KITTI odometry layout: synthetic scans
+    written as velodyne .bin files, cam0-frame GT poses + calib Tr (the
+    reader must conjugate GT back into the velodyne frame)."""
+    import numpy as np
+    from plo_tpu.io import synthetic
+
+    scans, gt_velo = synthetic.synthetic_sequence(
+        3, n_scans=64, azimuth_steps=900, speed=1.0, yaw_rate=0.005, seed=4)
+
+    root = tmp_path / "kitti"
+    vdir = root / "sequences" / "07" / "velodyne"
+    vdir.mkdir(parents=True)
+    (root / "poses").mkdir()
+    for i, s in enumerate(scans):
+        np.asarray(s, np.float32).tofile(vdir / f"{i:06d}.bin")
+    # A nontrivial velodyne->cam0 extrinsic (axis permutation + offset, like
+    # the real KITTI Tr).
+    tr = np.eye(4)
+    tr[:3, :3] = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], float)
+    tr[:3, 3] = [0.05, -0.07, -0.27]
+    gt_cam = np.einsum("ij,njk,kl->nil", tr, gt_velo, np.linalg.inv(tr))
+    with open(root / "poses" / "07.txt", "w") as f:
+        for p in gt_cam:
+            f.write(" ".join(f"{v:.9f}" for v in p[:3].reshape(-1)) + "\n")
+    with open(root / "sequences" / "07" / "calib.txt", "w") as f:
+        f.write("P0: " + " ".join(["0"] * 12) + "\n")
+        f.write("Tr: " + " ".join(f"{v:.9f}" for v in tr[:3].reshape(-1)) + "\n")
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "plo_tpu.cli",
+         "--dataset", "kitti", "--kitti-root", str(root), "--seq", "07",
+         "--frames", "3", "--platform", "cpu", "--capacity", "65536",
+         "--scan-lines", "64", "--output", str(tmp_path / "out"), "--eval-gt"],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    ate_line = [l for l in out.stdout.strip().split("\n") if l.startswith("{")][-1]
+    ate = json.loads(ate_line)["ate_m"]
+    assert ate < 0.1, f"KITTI-layout ATE too high: {ate}"
