@@ -43,6 +43,19 @@ def _chunk_count(t: int, chunk: int) -> int:
     return -(-t // chunk)
 
 
+# Max elements of the [Q, chunk] distance working set. XLA fuses the
+# coordinate-difference distance into the selection op, so fewer chunks =
+# fewer scan iterations = faster (measured 6x from 8 chunks -> 1 at
+# 2048x65536); the cap only guards the unfused worst case.
+_AUTO_CHUNK_ELEMS = 2048 * 65536
+
+
+def _auto_chunk(q: int, t: int, chunk) -> int:
+    if chunk is not None:
+        return chunk
+    return max(4096, min(t, _AUTO_CHUNK_ELEMS // max(q, 1)))
+
+
 def _pairwise_d2(query: jnp.ndarray, tc: jnp.ndarray) -> jnp.ndarray:
     """Squared distances [Q, C] via per-coordinate differences.
 
@@ -73,7 +86,7 @@ def knn(
     target_valid: jnp.ndarray,   # [T] bool
     k: int,
     radius: float | jnp.ndarray = jnp.inf,
-    chunk: int = 8192,
+    chunk: Optional[int] = None,
     select: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """k-nearest-neighbors by squared Euclidean distance.
@@ -89,6 +102,7 @@ def knn(
     (SURVEY.md §7.3 RNG note).
     """
     q = query.shape[0]
+    chunk = _auto_chunk(q, target.shape[0], chunk)
     tchunks, vchunks, n_chunks = _pad_targets(target, target_valid, chunk)
 
     init = (
@@ -124,11 +138,12 @@ def nearest(
     target: jnp.ndarray,
     target_valid: jnp.ndarray,
     radius: float | jnp.ndarray = jnp.inf,
-    chunk: int = 8192,
+    chunk: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """k=1 NN (anchor search, imls_icp.cpp:597-610). Returns (d2, idx, valid),
     each [Q]."""
     q = query.shape[0]
+    chunk = _auto_chunk(q, target.shape[0], chunk)
     tchunks, vchunks, n_chunks = _pad_targets(target, target_valid, chunk)
 
     def body(carry, inputs):
@@ -156,7 +171,7 @@ def projected_knn(
     k: int,
     euclid_gate: float,         # max ||t - q||
     proj_gate: float,           # max ||(t - q) x n||
-    chunk: int = 8192,
+    chunk: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Top-k smallest projected distances ||(t - q) x n_q|| subject to
     ||t - q|| < euclid_gate and proj < proj_gate.
@@ -170,6 +185,7 @@ def projected_knn(
     sort key — idx [Q, k], valid [Q, k]).
     """
     q = query.shape[0]
+    chunk = _auto_chunk(q, target.shape[0], chunk)
     tchunks, vchunks, n_chunks = _pad_targets(target, target_valid, chunk)
 
     nx, ny, nz = query_normal[:, 0:1], query_normal[:, 1:2], query_normal[:, 2:3]
@@ -202,7 +218,7 @@ def projected_knn(
     return jnp.sqrt(jnp.where(jnp.isfinite(best_p2), best_p2, INF)), best_idx, valid
 
 
-def projected_argmin(query, query_normal, target, target_valid, euclid_gate, proj_gate, chunk: int = 8192):
+def projected_argmin(query, query_normal, target, target_valid, euclid_gate, proj_gate, chunk: Optional[int] = None):
     """k=1 projected-distance anchor search (imls_icp.cpp:563-595).
 
     Returns (proj [Q], idx [Q], valid [Q])."""

@@ -217,3 +217,22 @@ def test_estimate_normal_plane_fit():
     # robust=True subtracts the noise floor from the eigenvalues
     _, var_r, _, _ = drpm.estimate_normal(jnp.asarray(pts, jnp.float32), 0.01, robust=True)
     assert float(var_r) >= float(var) - 1e-12
+
+
+def test_noise_estimate_closed_form(rng):
+    """Closed-form moment-sum ComputeNoiseEstimate == the literal per-point
+    6x6 formulation (degeneracy.h:14-72), including non-unit normals and
+    masked points."""
+    n_pts = 257
+    p = (rng.random((n_pts, 3)) - 0.5) * 60
+    n = rng.standard_normal((n_pts, 3)) * 1.1  # deliberately non-unit
+    w = rng.random(n_pts).astype(np.float32)
+    valid = rng.random(n_pts) < 0.8
+    U = np.linalg.qr(rng.standard_normal((6, 6)))[0]
+    args = (jnp.asarray(p, jnp.float32), jnp.asarray(n, jnp.float32),
+            jnp.asarray(w), jnp.asarray(valid), jnp.asarray(U, jnp.float32),
+            0.02, 0.05)
+    mean_d, var_d = drpm.compute_noise_estimate_dense(*args)
+    mean_c, var_c = drpm.compute_noise_estimate(*args)
+    np.testing.assert_allclose(np.asarray(mean_c), np.asarray(mean_d), rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_c), np.asarray(var_d), rtol=2e-3, atol=1e-9)

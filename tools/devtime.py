@@ -43,3 +43,19 @@ if __name__ == "__main__":
         s = jnp.sum(jnp.where(ok, d2, 0))
         return (q + s * 1e-20, acc + s)
     print(f"knn 2048x65536 k=20 exact:  {devtime(body_exact, (q0, jnp.zeros(())), fetch=lambda a: a[1]):.2f} ms")
+
+def bench_knn_variants():
+    rng = np.random.default_rng(0)
+    q0 = jnp.asarray(rng.uniform(-50, 50, (2048, 3)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(-50, 50, (65536, 3)).astype(np.float32))
+    v = jnp.ones((65536,), bool)
+    from plo_tpu.ops import neighbors
+    for sel in ("approx", "matmul"):
+        for chunk in (8192, 16384, 65536):
+            def body(args, sel=sel, chunk=chunk):
+                q, acc = args
+                d2, idx, ok = neighbors.knn(q, t, v, k=20, radius=1.0, select=sel, chunk=chunk)
+                s = jnp.sum(jnp.where(ok, d2, 0))
+                return (q + s * 1e-20, acc + s)
+            ms = devtime(body, (q0, jnp.zeros(())), fetch=lambda a: a[1])
+            print(f"knn k=20 select={sel} chunk={chunk}: {ms:.2f} ms")
