@@ -162,8 +162,17 @@ class Odometry:
         the reference's front-end/back-end pipelining (SURVEY.md §2.3 P1).
     """
 
+    # Fixed-point host->device transfer scale: 5 mm steps cover +-163.8 m in
+    # int16 — beyond the 150 m range gate, and 4-6x below LiDAR range noise
+    # (Velodyne +-2-3 cm). Halves-plus the per-scan transfer volume on
+    # bandwidth-limited links (xyz int16 = 6 B/point vs raw xyzi f32 = 16).
+    TRANSFER_QUANT_SCALE = 0.005
+
     def __init__(self, cfg: Config, capacity: int = 131072, seed: int = 0,
-                 async_mode: bool = False, sync_every: int = 64):
+                 async_mode: bool = False, sync_every: int = 64,
+                 transfer: str = "int16"):
+        assert transfer in ("int16", "float32")
+        self.transfer = transfer
         self.cfg = cfg
         self.frontend = FrontEnd(cfg, capacity=capacity)
         self.icp_step = _make_icp_step(cfg)
@@ -179,6 +188,10 @@ class Odometry:
         self.sync_every = sync_every
         self._last_rel = None  # device-resident previous rPose (undistortion)
         self._pending = []  # (index, rel_pose_dev, iters_dev, ncorr_dev, stats_dev)
+        # Device-resident model window [K, P] carried across batched calls —
+        # avoids restacking/splitting the K clouds through cloud_queue on
+        # every batch dispatch. cloud_queue is materialized from it lazily.
+        self._device_window = None
 
     def _next_key(self):
         # Host-constructed counter keys: a threefry key is just two uint32s,
@@ -187,9 +200,22 @@ class Odometry:
         self._key_counter += 1
         return jnp.asarray([np.uint32(self.seed), np.uint32(self._key_counter)])
 
+    def _sync_queue(self):
+        """Materialize cloud_queue from the device-resident window (after
+        batched calls left it stale)."""
+        if self._device_window is None:
+            return
+        k = self.cfg.laser_odometry.max_queue_size
+        self.cloud_queue.clear()
+        for slot in range(k):
+            self.cloud_queue.append(jax.tree_util.tree_map(
+                lambda a, s=slot: a[s], self._device_window))
+        self._device_window = None
+
     def _accumulated_target(self) -> PointCloud:
         """accumulateTargetCloud (laser_odometry.cpp:116-136): concat of the
         last max_queue_size filtered clouds."""
+        self._sync_queue()
         clouds = list(self.cloud_queue)
         acc = clouds[0]
         for c in clouds[1:]:
@@ -276,9 +302,14 @@ class Odometry:
         use_prior = self.cfg.laser_odometry.motion_prior
         k_queue = self.cfg.laser_odometry.max_queue_size
 
+        quantized = self.transfer == "int16"
+        qscale = self.TRANSFER_QUANT_SCALE
+
         def step(carry, inp):
             window, last_filtered, prior, fidx = carry
             raw, n_valid = inp
+            if quantized:
+                raw = raw.astype(jnp.float32) * qscale
             key_f = jax.random.fold_in(self._base_key, fidx)
             fe = run_frontend(raw, n_valid, key_f, last_filtered.xyz, None,
                               last_filtered.valid, first_frame=False)
@@ -306,10 +337,13 @@ class Odometry:
         return batch_step
 
     def _window_state(self) -> PointCloud:
-        """Stack the host-side cloud queue into the device window [K, P],
-        oldest first, invalid-padded at the front while the queue fills."""
+        """The device window [K, P]: reuse the device-resident copy from the
+        previous batch, else stack the host-side cloud queue (oldest first,
+        invalid-padded at the front while the queue fills)."""
+        if self._device_window is not None:
+            return self._device_window
         k = self.cfg.laser_odometry.max_queue_size
-        cap = self.frontend.capacity
+        cap = self.frontend.filtered_capacity
         clouds = list(self.cloud_queue)[-k:]
         while len(clouds) < k:
             clouds.insert(0, PointCloud.zeros(cap))
@@ -333,13 +367,26 @@ class Odometry:
                 continue
             if batch not in self._batch_steps:
                 self._batch_steps[batch] = self._build_batch_step(batch)
-            raws = np.zeros((batch, cap, 4), np.float32)
-            nvs = np.zeros((batch,), np.int32)
-            for j in range(batch):
-                raw = scans[i + j]
-                n = min(len(raw), cap)
-                raws[j, :n, : raw.shape[1]] = raw[:n, :4]
-                nvs[j] = n
+            if self.transfer == "int16":
+                # Fixed-point xyz-only transfer (intensity is never read from
+                # raw points — preprocess overwrites it with ring+relTime).
+                raws = np.zeros((batch, cap, 3), np.int16)
+                inv = 1.0 / self.TRANSFER_QUANT_SCALE
+                nvs = np.zeros((batch,), np.int32)
+                for j in range(batch):
+                    raw = scans[i + j]
+                    n = min(len(raw), cap)
+                    q = np.nan_to_num(raw[:n, :3].astype(np.float64) * inv, nan=1e9)
+                    raws[j, :n] = np.clip(np.rint(q), -32767, 32767).astype(np.int16)
+                    nvs[j] = n
+            else:
+                raws = np.zeros((batch, cap, 4), np.float32)
+                nvs = np.zeros((batch,), np.int32)
+                for j in range(batch):
+                    raw = scans[i + j]
+                    n = min(len(raw), cap)
+                    raws[j, :n, : raw.shape[1]] = raw[:n, :4]
+                    nvs[j] = n
             window = self._window_state()
             frame0 = jnp.asarray(self.frame_count, jnp.int32)
             prior = self._last_rel if self._last_rel is not None else jnp.eye(4, dtype=jnp.float32)
@@ -353,11 +400,10 @@ class Odometry:
                     (self.frame_count + j,
                      rposes[j], iters[j], ncorrs[j],
                      {k: v[j] for k, v in stats.items()}))
+            # Keep the window device-resident; cloud_queue is materialized
+            # lazily (_sync_queue) only if a single-frame path needs it.
+            self._device_window = new_window
             self.cloud_queue.clear()
-            k_queue = self.cfg.laser_odometry.max_queue_size
-            for slot in range(k_queue):
-                self.cloud_queue.append(jax.tree_util.tree_map(
-                    lambda a: a[slot], new_window))
             self.last_filtered = new_last
             self.frame_count += batch
             i += batch

@@ -80,6 +80,11 @@ class FrontEnd:
         else:
             raise ValueError(f"invalid sample method {self.sample_method!r}")
 
+        # Size of the filtered (model) cloud this pipeline emits: the raw
+        # capacity for pointcloud layouts, H*W for grid layouts.
+        self.filtered_capacity = (self.height * self.width
+                                  if self.format == "range_image" else capacity)
+
         self.raw_fn = self._build()  # unjitted; reused by the batched driver
         self._process = jax.jit(self.raw_fn, static_argnames=("first_frame",))
 
@@ -91,7 +96,13 @@ class FrontEnd:
         ri = self._ri_engine
 
         def run(pts, n_valid, key, last_xyz, last_normal_dummy, last_valid, first_frame: bool):
-            rc = pre_ops.preprocess(pts, n_valid, cfg.sensor)
+            # The grid paths only rasterize — they never index by ring
+            # position — so the ring-sorted compaction (a 65k argsort +
+            # gathers, ~2.4 ms/scan) is skipped unless a consumer needs it
+            # (pointcloud normals or the flat-window ring curvature).
+            need_sorted = (self.format == "pointcloud"
+                           or self.presample_method == "curvature")
+            rc = pre_ops.preprocess(pts, n_valid, cfg.sensor, sort=need_sorted)
 
             # Stage-1 curvature (only computed for the curvature presample,
             # scan_registration.cpp:1071-1113).

@@ -135,9 +135,9 @@ def relative_times(xyz: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return (ori - start_ori) / jnp.maximum(end_ori - start_ori, 1e-9)
 
 
-@partial(jax.jit, static_argnames=("n_scans", "min_range", "max_range"))
+@partial(jax.jit, static_argnames=("n_scans", "min_range", "max_range", "sort"))
 def _preprocess_impl(pts: jnp.ndarray, n_valid: jnp.ndarray, n_scans: int,
-                     min_range: float, max_range: float) -> RingCloud:
+                     min_range: float, max_range: float, sort: bool = True) -> RingCloud:
     p = pts.shape[0]
     xyz = pts[:, :3]
     in_cap = jnp.arange(p) < n_valid
@@ -152,19 +152,28 @@ def _preprocess_impl(pts: jnp.ndarray, n_valid: jnp.ndarray, n_scans: int,
     rel_time = relative_times(xyz, valid)
     rel_time = jnp.where(valid, rel_time, 0.0)
 
-    # Stable sort by ring (padding slots -> ring n_scans, sorted last); within
-    # a ring, arrival order is preserved — identical to the reference's
-    # per-ring push_back + concatenation order.
-    sort_key = jnp.where(valid, ring, n_scans)
-    order = jnp.argsort(sort_key, stable=True)
-    xyz_s = xyz[order]
-    ring_s = jnp.where(valid, ring, n_scans)[order]
-    rel_s = rel_time[order]
-    valid_s = valid[order]
+    ring_u = jnp.where(valid, ring, n_scans)
+    if sort:
+        # Stable sort by ring (padding slots -> ring n_scans, sorted last);
+        # within a ring, arrival order is preserved — identical to the
+        # reference's per-ring push_back + concatenation order.
+        order = jnp.argsort(ring_u, stable=True)
+        xyz_s = xyz[order]
+        ring_s = ring_u[order]
+        rel_s = rel_time[order]
+        valid_s = valid[order]
+    else:
+        # Arrival-order layout: consumers that only rasterize (the range-image
+        # paths) never index by ring position, so the 65k argsort + gathers
+        # are skipped. pos_in_ring is NOT meaningful in this layout.
+        xyz_s, ring_s, rel_s, valid_s = xyz, ring_u, rel_time, valid
 
-    ring_count = jnp.bincount(jnp.where(valid, ring, n_scans), length=n_scans + 1)[:n_scans]
+    ring_count = jnp.bincount(ring_u, length=n_scans + 1)[:n_scans]
     ring_start = jnp.concatenate([jnp.zeros((1,), ring_count.dtype), jnp.cumsum(ring_count)[:-1]])
-    pos_in_ring = jnp.arange(p) - ring_start[jnp.clip(ring_s, 0, n_scans - 1)]
+    if sort:
+        pos_in_ring = jnp.arange(p) - ring_start[jnp.clip(ring_s, 0, n_scans - 1)]
+    else:
+        pos_in_ring = jnp.zeros((p,), jnp.int32)
 
     intensity = ring_s.astype(jnp.float32) + 0.1 * rel_s
     return RingCloud(
@@ -179,11 +188,14 @@ def _preprocess_impl(pts: jnp.ndarray, n_valid: jnp.ndarray, n_scans: int,
     )
 
 
-def preprocess(pts: jnp.ndarray, n_valid, sensor: SensorConfig) -> RingCloud:
-    """Full stage-1 preprocessing of one padded raw scan [P, >=3]."""
+def preprocess(pts: jnp.ndarray, n_valid, sensor: SensorConfig, sort: bool = True) -> RingCloud:
+    """Full stage-1 preprocessing of one padded raw scan [P, >=3].
+
+    sort=False skips the ring-sorted compaction (valid only for consumers
+    that never use ring positions, i.e. the range-image rasterizer)."""
     return _preprocess_impl(
         pts, jnp.asarray(n_valid, jnp.int32), sensor.n_scans,
-        float(sensor.minimum_range), float(sensor.maximum_range)
+        float(sensor.minimum_range), float(sensor.maximum_range), sort
     )
 
 
@@ -205,16 +217,18 @@ def rasterize_range_image(cloud: RingCloud, height: int, width: int):
     flat = jnp.full((height * width + 1,), jnp.inf, jnp.float32).at[cell].min(
         jnp.where(cloud.valid, rng2d, jnp.inf)
     )
-    # Winner-takes-cell xyz: points matching the cell min write their xyz.
+    # Winner-takes-cell: points matching the cell min write one packed
+    # [x, y, z, rel_time, src_idx] row — a single scatter instead of three
+    # (scatters are the expensive op here; packing halved the rasterizer).
     is_winner = cloud.valid & (rng2d <= flat[cell])
     wcell = jnp.where(is_winner, cell, height * width)
-    flat_xyz = jnp.zeros((height * width + 1, 3), jnp.float32).at[wcell].set(cloud.xyz)
-    flat_rel = jnp.zeros((height * width + 1,), jnp.float32).at[wcell].set(cloud.rel_time)
-    flat_src = jnp.zeros((height * width + 1,), jnp.int32).at[wcell].set(
-        jnp.arange(cloud.capacity, dtype=jnp.int32))
+    payload = jnp.concatenate(
+        [cloud.xyz, cloud.rel_time[:, None],
+         jnp.arange(cloud.capacity, dtype=jnp.float32)[:, None]], axis=1)
+    packed = jnp.zeros((height * width + 1, 5), jnp.float32).at[wcell].set(payload)
 
     rng_img = flat[:-1].reshape(height, width)
     occupied = jnp.isfinite(rng_img)
-    return (rng_img, flat_xyz[:-1].reshape(height, width, 3),
-            flat_rel[:-1].reshape(height, width), occupied,
-            flat_src[:-1].reshape(height, width))
+    return (rng_img, packed[:-1, :3].reshape(height, width, 3),
+            packed[:-1, 3].reshape(height, width), occupied,
+            packed[:-1, 4].astype(jnp.int32).reshape(height, width))

@@ -23,6 +23,7 @@ if TYPE_CHECKING:
 
 def save(odo: "Odometry", path: str):
     odo._drain()  # flush async frames so prev_pose is current
+    odo._sync_queue()  # materialize the device-resident window, if any
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     state = {
         "prev_pose": odo.prev_pose,

@@ -240,3 +240,24 @@ def test_grid_pca_frontend_e2e():
     est, gt, _ = run_sequence(cfg, n_frames=4, world=world)
     ate = evaluate.ate_rmse(est, gt, align=False)
     assert ate < 0.05, f"ATE {ate}"
+
+
+def test_quantized_transfer_trajectory():
+    """int16 fixed-point scan transfer (5 mm steps) must not disturb the
+    trajectory beyond the sensor-noise floor vs float32 transfer."""
+    cfg = base_config()
+    scans, gt = synthetic.synthetic_sequence(
+        6, n_scans=64, azimuth_steps=900, speed=0.4, yaw_rate=0.01, seed=3)
+    poses = {}
+    for transfer in ("float32", "int16"):
+        odo = Odometry(cfg, capacity=32768, seed=0, async_mode=True, transfer=transfer)
+        odo.process_scans(scans, batch=2)
+        odo.finalize()
+        poses[transfer] = odo.poses()
+    gtr = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)
+    for transfer, p in poses.items():
+        ate = evaluate.ate_rmse(p, gtr, align=False)
+        assert ate < 0.05, f"{transfer} ATE {ate}"
+    # the two transfer modes agree to sub-cm
+    dt = np.linalg.norm(poses["int16"][:, :3, 3] - poses["float32"][:, :3, 3], axis=1)
+    assert dt.max() < 0.02, dt

@@ -96,3 +96,27 @@ def test_rasterize_range_image():
     r2d = np.sqrt(xyz[:, 0] ** 2 + xyz[:, 1] ** 2)
     np.testing.assert_allclose(r2d, img_np[occ_np], atol=1e-4)
     assert np.isinf(img_np[~occ_np]).all()
+
+
+def test_preprocess_unsorted_equivalent_raster():
+    """sort=False (arrival-order layout) must rasterize to the identical
+    range image as the ring-sorted layout — the grid paths' fast preprocess."""
+    import jax.numpy as jnp
+    from plo_tpu.io import synthetic
+
+    scans, _ = synthetic.synthetic_sequence(1, n_scans=64, azimuth_steps=360, seed=5)
+    P = 32768
+    pts = np.zeros((P, 4), np.float32)
+    n = min(len(scans[0]), P)
+    pts[:n] = scans[0][:n]
+    sensor = cfgmod.SensorConfig(n_scans=64)
+    rc_s = preprocess.preprocess(jnp.asarray(pts), n, sensor, sort=True)
+    rc_u = preprocess.preprocess(jnp.asarray(pts), n, sensor, sort=False)
+    assert int(rc_s.valid.sum()) == int(rc_u.valid.sum())
+    np.testing.assert_array_equal(np.asarray(rc_s.ring_count), np.asarray(rc_u.ring_count))
+    img_s, xyz_s, rel_s, occ_s, _ = preprocess.rasterize_range_image(rc_s, 64, 360)
+    img_u, xyz_u, rel_u, occ_u, _ = preprocess.rasterize_range_image(rc_u, 64, 360)
+    np.testing.assert_array_equal(np.asarray(occ_s), np.asarray(occ_u))
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_u))
+    # Winning point per cell may differ only between exact-tie points.
+    np.testing.assert_allclose(np.asarray(xyz_s), np.asarray(xyz_u), atol=1e-6)
