@@ -45,8 +45,8 @@ def main():
     )
 
     world = synthetic.SyntheticWorld.corridor(seed=7, n_boxes=140, extent=120.0)
-    batch = 8
-    n_warm, n_bench = 1 + batch, 3 * batch
+    batch = 16
+    n_warm, n_bench = 1 + batch, 6 * batch
     scans, _ = synthetic.synthetic_sequence(
         n_warm + n_bench, n_scans=64, azimuth_steps=900, speed=0.5, yaw_rate=0.005,
         seed=11, world=world)

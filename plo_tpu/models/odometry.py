@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from plo_tpu import geometry as geo
+from plo_tpu import native
 from plo_tpu.cloud import PointCloud
 from plo_tpu.config import Config
 from plo_tpu.models.pipeline import FrontEnd, FrontEndOutput
@@ -187,7 +188,8 @@ class Odometry:
         self.async_mode = async_mode
         self.sync_every = sync_every
         self._last_rel = None  # device-resident previous rPose (undistortion)
-        self._pending = []  # (index, rel_pose_dev, iters_dev, ncorr_dev, stats_dev)
+        self._pending = []  # ("single", idx, rel, iters, ncorr, stats) | ("batch", idx0, packed)
+        self._stats_keys = None  # set when the batched step traces
         # Device-resident model window [K, P] carried across batched calls —
         # avoids restacking/splitting the K clouds through cloud_queue on
         # every batch dispatch. cloud_queue is materialized from it lazily.
@@ -243,7 +245,7 @@ class Odometry:
             i = nc = jnp.asarray(0, jnp.int32)
 
         index = self.frame_count
-        self._pending.append((index, rpose, i, nc, fe.stats))
+        self._pending.append(("single", index, rpose, i, nc, fe.stats))
 
         # Model update (max_queue_size window of filtered clouds).
         self.cloud_queue.append(fe.filtered)
@@ -266,20 +268,32 @@ class Odometry:
         integrate poses in float64 (nowPose = prevLaserPose * rPose, :652)."""
         if not self._pending:
             return
-        idxs = [p[0] for p in self._pending]
-        rels, iters, ncorrs, stats = jax.device_get(
-            ([p[1] for p in self._pending], [p[2] for p in self._pending],
-             [p[3] for p in self._pending], [p[4] for p in self._pending]))
-        self._pending.clear()
-        for j, index in enumerate(idxs):
-            rel = np.asarray(rels[j], np.float64)
-            pose = self.prev_pose @ rel
-            self.prev_pose = pose
-            self.trajectory.append(OdometryFrame(
-                index=index, pose=pose, rel_pose=rel,
-                iterations=int(iters[j]), n_correspondences=int(ncorrs[j]),
-                stats={k: float(v) for k, v in stats[j].items()},
-            ))
+        pending, self._pending = self._pending, []
+        fetched = jax.device_get([p[2:] for p in pending])
+        for (kind, first_index, *_), dev in zip(pending, fetched):
+            if kind == "batch":
+                rows = np.asarray(dev[0], np.float64)  # [batch, 18+K]
+                keys = self._stats_keys
+                for j in range(rows.shape[0]):
+                    row = rows[j]
+                    self._append_frame(first_index + j, row[:16].reshape(4, 4),
+                                       int(row[16]), int(row[17]),
+                                       dict(zip(keys, row[18:])))
+            else:
+                rel, iters, ncorr, stats = dev
+                self._append_frame(first_index, np.asarray(rel, np.float64),
+                                   int(iters), int(ncorr),
+                                   {k: float(v) for k, v in stats.items()})
+
+    def _append_frame(self, index, rel, iterations, n_corr, stats):
+        rel = np.asarray(rel, np.float64)
+        pose = self.prev_pose @ rel
+        self.prev_pose = pose
+        self.trajectory.append(OdometryFrame(
+            index=index, pose=pose, rel_pose=rel,
+            iterations=iterations, n_correspondences=n_corr,
+            stats={k: float(v) for k, v in stats.items()},
+        ))
 
     def finalize(self) -> List[OdometryFrame]:
         """Drain all pending async frames; returns the full trajectory."""
@@ -321,7 +335,15 @@ class Odometry:
             init_pose = prior if use_prior else None
             rpose, iters, ncorr, _ = icp(fe.flat, target,
                                          jax.random.fold_in(key_f, 1), init_pose)
-            out = (rpose, iters, ncorr, fe.stats)
+            # Pack the whole per-frame result into ONE f32 row so the final
+            # device->host fetch is a single contiguous transfer (each extra
+            # leaf pays a full round trip on remote-tunnel links, and a D2H
+            # stalls the next H2D by ~100 ms on the axon relay).
+            self._stats_keys = tuple(sorted(fe.stats))
+            out = jnp.concatenate(
+                [rpose.reshape(16),
+                 iters[None].astype(jnp.float32), ncorr[None].astype(jnp.float32)]
+                + [fe.stats[k][None].astype(jnp.float32) for k in self._stats_keys])
             new_window = jax.tree_util.tree_map(
                 lambda a, n: jnp.concatenate([a[1:], n[None]], axis=0),
                 window, fe.filtered)
@@ -371,13 +393,20 @@ class Odometry:
                 # Fixed-point xyz-only transfer (intensity is never read from
                 # raw points — preprocess overwrites it with ring+relTime).
                 raws = np.zeros((batch, cap, 3), np.int16)
-                inv = 1.0 / self.TRANSFER_QUANT_SCALE
+                inv = np.float32(1.0 / self.TRANSFER_QUANT_SCALE)
                 nvs = np.zeros((batch,), np.int32)
                 for j in range(batch):
                     raw = scans[i + j]
+                    n_native = native.quantize_pack(raw, float(inv), raws[j])
+                    if n_native is not None:
+                        nvs[j] = n_native
+                        continue
                     n = min(len(raw), cap)
-                    q = np.nan_to_num(raw[:n, :3].astype(np.float64) * inv, nan=1e9)
-                    raws[j, :n] = np.clip(np.rint(q), -32767, 32767).astype(np.int16)
+                    # f32 throughout: rint+clip keep NaN/inf mapped to +-32767,
+                    # which the 150 m range gate then drops on device.
+                    q = np.clip(np.rint(raw[:n, :3].astype(np.float32) * inv),
+                                -32767.0, 32767.0)
+                    raws[j, :n] = np.nan_to_num(q, nan=32767.0).astype(np.int16)
                     nvs[j] = n
             else:
                 raws = np.zeros((batch, cap, 4), np.float32)
@@ -394,12 +423,8 @@ class Odometry:
                 jnp.asarray(raws), jnp.asarray(nvs), window,
                 self.last_filtered, prior, frame0)
             self._last_rel = new_prior
-            rposes, iters, ncorrs, stats = outs
-            for j in range(batch):
-                self._pending.append(
-                    (self.frame_count + j,
-                     rposes[j], iters[j], ncorrs[j],
-                     {k: v[j] for k, v in stats.items()}))
+            # outs: [batch, 18+K] packed rows; defer the (single-leaf) fetch.
+            self._pending.append(("batch", self.frame_count, outs))
             # Keep the window device-resident; cloud_queue is materialized
             # lazily (_sync_queue) only if a single-frame path needs it.
             self._device_window = new_window

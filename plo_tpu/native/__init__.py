@@ -39,6 +39,10 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
         lib.plo_prefetcher_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
         lib.plo_prefetcher_destroy.restype = None
         lib.plo_prefetcher_destroy.argtypes = [ctypes.c_void_p]
+        lib.plo_quantize_pack.restype = ctypes.c_int64
+        lib.plo_quantize_pack.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_float, ctypes.POINTER(ctypes.c_int16), ctypes.c_int64]
         _lib = lib
     except Exception:
         _build_failed = True
@@ -47,6 +51,22 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return _ensure_built() is not None
+
+
+def quantize_pack(raw: np.ndarray, inv_scale: float, out: np.ndarray) -> Optional[int]:
+    """Quantize one scan's xyz into a preallocated int16 [capacity, 3] row
+    (5 mm fixed-point host->device transfer format). Returns the point count,
+    or None if the native library is unavailable or the input layout doesn't
+    qualify (caller falls back to NumPy)."""
+    lib = _ensure_built()
+    if (lib is None or raw.dtype != np.float32 or raw.ndim != 2
+            or raw.shape[1] < 3 or not raw.flags.c_contiguous
+            or out.dtype != np.int16 or not out.flags.c_contiguous):
+        return None
+    return int(lib.plo_quantize_pack(
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        raw.shape[0], raw.shape[1], ctypes.c_float(inv_scale),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), out.shape[0]))
 
 
 def load_bin_padded(path: str, capacity: int) -> tuple[np.ndarray, int]:

@@ -100,9 +100,37 @@ struct Prefetcher {
   }
 };
 
+// Quantize one scan's xyz to fixed-point int16 (5 mm steps by default; the
+// device multiplies back by the scale). NaN/inf map to +-32767, which the
+// on-device 150 m range gate then drops — same effect as the reference's
+// removeNaN pass (scan_registration.cpp:855-857). Tail is zero-padded.
+int64_t quantize_pack(const float* raw, int64_t n, int64_t stride,
+                      float inv_scale, int16_t* out, int64_t capacity) {
+  if (n > capacity) n = capacity;
+  for (int64_t i = 0; i < n; ++i) {
+    const float* p = raw + i * stride;
+    int16_t* o = out + i * 3;
+    for (int c = 0; c < 3; ++c) {
+      float v = p[c] * inv_scale;
+      if (!(v > -32767.0f)) v = (v != v) ? 32767.0f : -32767.0f;  // NaN/-inf
+      if (v > 32767.0f) v = 32767.0f;
+      o[c] = static_cast<int16_t>(v >= 0.0f ? v + 0.5f : v - 0.5f);
+    }
+  }
+  if (n < capacity) {
+    std::memset(out + n * 3, 0, sizeof(int16_t) * 3 * (capacity - n));
+  }
+  return n;
+}
+
 }  // namespace
 
 extern "C" {
+
+int64_t plo_quantize_pack(const float* raw, int64_t n, int64_t stride,
+                          float inv_scale, int16_t* out, int64_t capacity) {
+  return quantize_pack(raw, n, stride, inv_scale, out, capacity);
+}
 
 int64_t plo_load_bin(const char* path, float* out, int64_t capacity) {
   return load_bin(path, out, capacity);
