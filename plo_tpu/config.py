@@ -254,6 +254,14 @@ class LaserOdometryConfig:  # config.json:83-171
     # the h-gate and intermittently freezes at speed); set False for strict
     # shipped-behavior parity.
     motion_prior: bool = True
+    # Extension: True (reference semantics, laser_odometry.cpp:524-647) re-runs
+    # the full anchor+kNN target search every ICP iteration; False freezes the
+    # candidate set after each frame's first search and re-evaluates gates,
+    # anchor, bandwidth and heights from the updated source pose only
+    # (ops/matching.py::imls_project_cached) — ~2x faster ICP at equal ATE
+    # when a motion prior puts iteration 0 within centimeters of the optimum.
+    # Euclidean-anchor IMLS only; other modes ignore the flag.
+    refresh_correspondences: bool = True
     matching_method: MatchingConfig = MatchingConfig()
     solve_method: SolveConfig = SolveConfig()
 

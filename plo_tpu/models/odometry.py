@@ -64,6 +64,10 @@ def _make_icp_step(cfg: Config, jit: bool = True):
                          and imls_cfg.use_tensor_voting.enabled)
     use_precomputed_normals = (matching_method == "IMLS"
                                and not imls_cfg.get_normals.enabled)
+    freeze_correspondences = (matching_method == "IMLS"
+                              and not lo.refresh_correspondences
+                              and not imls_cfg.use_projected_distance.enabled
+                              and not use_tensor_voting)
 
     def match(src: PointCloud, tgt: PointCloud, tgt_normal, tgt_normal_ok):
         if matching_method == "IMLS":
@@ -113,6 +117,14 @@ def _make_icp_step(cfg: Config, jit: bool = True):
         else:
             tgt_normal, tgt_normal_ok = target.normal, target.valid
 
+        if freeze_correspondences:
+            # One full candidate search at the initial pose; the loop body
+            # re-evaluates gates/anchor/bandwidth/height from the cached set
+            # (identical to a full match at iteration 0, cheaper afterwards).
+            src0 = dataclasses.replace(
+                flat, xyz=geo.transform_points(init_pose, flat.xyz))
+            cache = matching.imls_search(src0, target, imls_cfg)
+
         def cond(state):
             i, rpose, done, _, _ = state
             return (i < iterations) & ~done
@@ -126,7 +138,11 @@ def _make_icp_step(cfg: Config, jit: bool = True):
                 src_normal = flat.normal
             src = dataclasses.replace(flat, xyz=src_xyz, normal=src_normal)
 
-            res = match(src, target, tgt_normal, tgt_normal_ok)
+            if freeze_correspondences:
+                res = matching.imls_project_cached(src, target, imls_cfg, cache,
+                                                   tgt_normal, tgt_normal_ok)
+            else:
+                res = match(src, target, tgt_normal, tgt_normal_ok)
             n_corr = jnp.sum(res.valid.astype(jnp.int32))
             enough = n_corr >= correspond_number
 

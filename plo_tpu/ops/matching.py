@@ -234,6 +234,117 @@ def _imls_impl(src_xyz, src_normal, src_valid, tgt_xyz, tgt_normal, tgt_normal_o
     )
 
 
+@partial(jax.jit, static_argnames=("k", "knn_select"))
+def _imls_search_impl(src_xyz, tgt_xyz, tgt_valid, r: float, k: int,
+                      knn_select: str):
+    _, nidx, nfound = neighbors.knn(src_xyz, tgt_xyz, tgt_valid, k=k,
+                                    radius=r, select=knn_select)
+    return nidx, nfound
+
+
+def imls_search(source: PointCloud, target: PointCloud, cfg: IMLSConfig,
+                knn_select: str = "approx"):
+    """Neighbor-candidate search only (euclidean mode): the k nearest target
+    points within radius r per source point. Feed the result to
+    `imls_project_cached` to re-evaluate the IMLS projection at updated source
+    poses without re-searching the whole target (correspondence freezing —
+    an optimization mode, laser_odometry config `refresh_correspondences`)."""
+    assert not cfg.use_projected_distance.enabled, "freeze mode is euclidean-only"
+    return _imls_search_impl(source.xyz, target.xyz, target.valid,
+                             cfg.r, cfg.search_number, knn_select)
+
+
+@partial(jax.jit, static_argnames=("k", "angle_enabled"))
+def _imls_eval_cached(src_xyz, src_normal, src_valid, tgt_xyz, tgt_normal,
+                      tgt_normal_ok, nidx, nfound, h: float, r: float,
+                      angle_threshold: float, k: int,
+                      angle_enabled: bool) -> MatchResult:
+    """IMLS projection restricted to a cached candidate set: distances, the
+    anchor (argmin within the set), the radius/h gates, the adaptive
+    bandwidth, and the height are all recomputed from the CURRENT source
+    positions/normals; only the candidate identities are frozen. At the
+    search pose this reproduces `_imls_impl` (euclidean mode) exactly; after
+    sub-cm pose updates it differs only by points entering/leaving the
+    radius, which the re-applied gates handle conservatively."""
+    cap = tgt_xyz.shape[0]
+    nidx_c = jnp.clip(nidx, 0, cap - 1)
+    npts = tgt_xyz[nidx_c]                           # [S, k, 3]
+    nnrm = tgt_normal[nidx_c]                        # [S, k, 3]
+    diff = src_xyz[:, None, :] - npts
+    d2_euclid = jnp.sum(diff * diff, axis=-1)
+    present = nfound & (d2_euclid <= r * r)          # radius re-gate
+    d2_masked = jnp.where(present, d2_euclid, jnp.inf)
+
+    # Anchor = nearest present candidate (k=1 NN within r, imls_icp.cpp:597-610).
+    j_star = jnp.argmin(d2_masked, axis=1)
+    min_dist = jnp.take_along_axis(d2_masked, j_star[:, None], axis=1)[:, 0]
+    found = jnp.any(present, axis=1)
+    min_dist = jnp.where(found, min_dist, 0.0)
+    aidx_c = jnp.take_along_axis(nidx_c, j_star[:, None], axis=1)[:, 0]
+    anchor_near = min_dist <= h * h                  # :620-625
+    n_anchor = tgt_normal[aidx_c]
+    anchor_normal_ok = neighbors.gather_mask(tgt_normal_ok, aidx_c) & jnp.all(
+        jnp.isfinite(n_anchor), axis=-1)
+    if angle_enabled:
+        anchor_angle_ok = _angle_deg(src_normal, n_anchor) <= angle_threshold
+    else:
+        anchor_angle_ok = jnp.ones_like(found)
+
+    n_ok = present & neighbors.gather_mask(tgt_normal_ok, nidx_c)
+    if angle_enabled:
+        nang = _angle_deg(jnp.broadcast_to(src_normal[:, None, :], nnrm.shape), nnrm)
+        n_ok = n_ok & (nang <= angle_threshold)
+    n_accepted = jnp.sum(n_ok, axis=1)
+    enough = n_accepted >= 3
+
+    # Adaptive bandwidth from the sorted in-radius distances (imls_icp.cpp:468).
+    near_d2 = jnp.sort(d2_masked, axis=1)
+    pick = jnp.clip(n_accepted - 1, 0, k - 1)
+    d_far2 = jnp.take_along_axis(near_d2, pick[:, None], axis=1)[:, 0]
+    d_far2 = jnp.where(jnp.isfinite(d_far2), d_far2, 0.0)
+    h_max = jnp.sqrt(jnp.maximum(d_far2, 0.0)) / 3.0
+    h_max2 = jnp.maximum(h_max * h_max, 1e-20)
+
+    w = jnp.where(n_ok, jnp.exp(-d2_euclid / h_max2[:, None]), 0.0)
+    proj = jnp.sum(diff * nnrm, axis=-1)
+    weight_sum = jnp.sum(w, axis=1)
+    proj_sum = jnp.sum(w * proj, axis=1)
+    height = proj_sum / (weight_sum + 1e-5)
+    height_ok = jnp.isfinite(height)
+
+    stages = [
+        ("too_far", found & anchor_near),
+        ("invalid_normal", anchor_normal_ok),
+        ("normal_constraint", anchor_angle_ok),
+        ("mls_fail", enough),
+        ("nan_inf_height", height_ok),
+    ]
+    counters, alive = _counters(src_valid, stages)
+
+    y = src_xyz - height[:, None] * n_anchor
+    return MatchResult(
+        y=jnp.where(alive[:, None], y, 0.0),
+        normal=jnp.where(alive[:, None], n_anchor, 0.0),
+        valid=alive,
+        counters=counters,
+    )
+
+
+def imls_project_cached(source: PointCloud, target: PointCloud, cfg: IMLSConfig,
+                        cache, target_normal=None, target_normal_ok=None) -> MatchResult:
+    """ProjSourcePtToSurface evaluated against a frozen candidate set from
+    `imls_search` (see `_imls_eval_cached`)."""
+    tn = target.normal if target_normal is None else target_normal
+    tok = target.valid if target_normal_ok is None else (target.valid & target_normal_ok)
+    nidx, nfound = cache
+    return _imls_eval_cached(
+        source.xyz, source.normal, source.valid,
+        target.xyz, tn, tok, nidx, nfound,
+        cfg.h, cfg.r, cfg.normal_angle_constraint.angle_diff_threshold,
+        cfg.search_number, cfg.normal_angle_constraint.enabled,
+    )
+
+
 def imls_project(source: PointCloud, target: PointCloud, cfg: IMLSConfig,
                  target_normal=None, target_normal_ok=None,
                  anchor_normal_src=None, anchor_ok_src=None,

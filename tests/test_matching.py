@@ -117,3 +117,45 @@ def test_imls_masked_source_stays_masked(rng):
     res = matching.imls_project(src, tgt, cfgmod.IMLSConfig(h=1.0, r=3.0))
     v = np.asarray(res.valid)
     assert not v[::2].any()
+
+
+def test_imls_cached_matches_full_at_search_pose(rng):
+    """Freeze mode: imls_search + imls_project_cached at the search pose must
+    reproduce the full imls_project (euclidean mode) — same survivors, same
+    correspondences."""
+    n = 3000
+    xyz = (rng.random((n, 3)) - 0.5).astype(np.float32) * 24
+    xyz[:, 2] = np.sin(xyz[:, 0] * 0.4).astype(np.float32) * 0.5
+    tgt = PointCloud.from_xyz(jnp.asarray(xyz))
+    nrm = np.tile(np.array([0, 0, 1.0], np.float32), (n, 1))
+    tgt = dataclasses.replace(tgt, normal=jnp.asarray(nrm))
+    src = source_above_plane(rng, m=400, height=0.2, extent=20.0)
+    cfg = cfgmod.IMLSConfig(h=1.0, r=3.0)
+
+    full = matching.imls_project(src, tgt, cfg, knn_select="exact")
+    cache = matching.imls_search(src, tgt, cfg, knn_select="exact")
+    cached = matching.imls_project_cached(src, tgt, cfg, cache)
+
+    np.testing.assert_array_equal(np.asarray(full.valid), np.asarray(cached.valid))
+    v = np.asarray(full.valid)
+    np.testing.assert_allclose(np.asarray(full.y)[v], np.asarray(cached.y)[v],
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(full.normal)[v],
+                               np.asarray(cached.normal)[v], rtol=0, atol=1e-6)
+    for k in full.counters:
+        assert int(full.counters[k]) == int(cached.counters[k]), k
+
+
+def test_imls_cached_tracks_small_pose_update(rng):
+    """After a small source shift the cached evaluation stays within the
+    re-gated candidate set and still projects onto the surface."""
+    tgt = plane_target(rng, n=4000)
+    src = source_above_plane(rng, m=300, height=0.25)
+    cfg = cfgmod.IMLSConfig(h=1.0, r=3.0)
+    cache = matching.imls_search(src, tgt, cfg, knn_select="exact")
+    shifted = dataclasses.replace(src, xyz=src.xyz + jnp.asarray([0.02, -0.01, 0.03]))
+    res = matching.imls_project_cached(shifted, tgt, cfg, cache)
+    v = np.asarray(res.valid)
+    assert v.sum() > 200
+    y = np.asarray(res.y)[v]
+    np.testing.assert_allclose(y[:, 2], 0.0, atol=1e-4)  # heights land on the plane
