@@ -83,6 +83,16 @@ class PointCloud:
             valid=(valid_f > 0.5) & idx_valid,
         )
 
+    def bounding_box(self):
+        """Masked axis-aligned bounding box (computeBoundingBox,
+        common.h:104-122). Returns (min_pt [3], max_pt [3]); +inf/-inf when
+        the cloud is empty (the reference leaves max-double sentinels)."""
+        big = jnp.inf
+        v = self.valid[:, None]
+        mn = jnp.min(jnp.where(v, self.xyz, big), axis=0)
+        mx = jnp.max(jnp.where(v, self.xyz, -big), axis=0)
+        return mn, mx
+
     def concat(self, other: "PointCloud") -> "PointCloud":
         cat = lambda a, b: jnp.concatenate([a, b], axis=0)
         return PointCloud(

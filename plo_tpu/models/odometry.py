@@ -316,6 +316,18 @@ class Odometry:
         self._drain()
         return self.trajectory
 
+    def sync(self) -> None:
+        """Block until all dispatched device work has finished WITHOUT
+        fetching results (finalize/_drain does a device->host transfer, which
+        on remote-tunnel links stalls the next host->device transfer by
+        ~100 ms; use sync() for timing barriers, finalize() for results)."""
+        if self._pending:
+            # The packed result row is the last output of the batch program,
+            # so one leaf is one RTT and suffices as a barrier.
+            jax.block_until_ready(self._pending[-1][2])
+        elif self._device_window is not None:
+            jax.block_until_ready(self._device_window.xyz)
+
     # ------------------------------------------------------------------
     # Batched on-device frame loop
     # ------------------------------------------------------------------

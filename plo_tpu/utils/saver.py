@@ -78,6 +78,15 @@ def save_matched_points(src_xyz: np.ndarray, ref_xyz: np.ndarray,
             f.write(f"{s[0]} {s[1]} {s[2]} {r[0]} {r[1]} {r[2]}\n")
 
 
+def save_scalar_append(path: str, number: float):
+    """saveThresholdFile (saver.cpp:78-86): append one fixed-6 scalar per
+    line. Only referenced from a commented-out residual dump in the reference
+    (solver.cpp:114); kept for artifact-format parity."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "a") as f:
+        f.write(f"{number:.6f}\n")
+
+
 def save_descriptors_txt(result, path: str):
     """saveCloudFeaturesAndDescriptors analog: per valid point, xyz followed
     by the 22-dim descriptor column (saver.cpp:309-340 layout)."""

@@ -73,3 +73,32 @@ def test_checkpoint_roundtrip(tmp_path):
     f_a = odo.process_scan(scans[2])
     f_b = odo2.process_scan(scans[2])
     np.testing.assert_allclose(f_a.rel_pose, f_b.rel_pose, atol=1e-6)
+
+
+def test_save_scalar_append(tmp_path):
+    from plo_tpu.utils import saver
+    p = str(tmp_path / "thr" / "t.txt")
+    saver.save_scalar_append(p, 0.123456789)
+    saver.save_scalar_append(p, -2.0)
+    lines = open(p).read().splitlines()
+    assert lines == ["0.123457", "-2.000000"]
+
+
+def test_bounding_box_masked():
+    import jax.numpy as jnp
+    import numpy as np
+    from plo_tpu.cloud import PointCloud
+    xyz = jnp.asarray(np.array([[1, 2, 3], [-5, 0, 9], [100, 100, 100]], np.float32))
+    c = PointCloud.from_xyz(xyz, valid=jnp.asarray([True, True, False]))
+    mn, mx = c.bounding_box()
+    np.testing.assert_array_equal(np.asarray(mn), [-5, 0, 3])
+    np.testing.assert_array_equal(np.asarray(mx), [1, 2, 9])
+
+
+def test_odometry_sync_noop_safe():
+    """sync() must be callable before any work is dispatched."""
+    from plo_tpu import config as cfgmod
+    from plo_tpu.models import Odometry
+    odo = Odometry(cfgmod.Config(), capacity=256, async_mode=True)
+    odo.sync()  # no device work, no pending results
+    assert odo.finalize() == []
