@@ -30,6 +30,8 @@ def build_parser():
     p.add_argument("--min-range", type=float, default=2.0)
     p.add_argument("--max-range", type=float, default=150.0)
     p.add_argument("--azimuth-resolution", type=float, default=0.2)
+    p.add_argument("--azimuth-steps", type=int, default=1800,
+                   help="synthetic dataset: firings per revolution")
     p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-gt", action="store_true",
@@ -83,8 +85,8 @@ def main(argv=None):
         from plo_tpu.io import synthetic
         n = args.frames or 20
         scan_list, gt = synthetic.synthetic_sequence(
-            n, n_scans=args.scan_lines, azimuth_steps=1800, speed=1.0,
-            yaw_rate=0.005, seed=args.seed)
+            n, n_scans=args.scan_lines, azimuth_steps=args.azimuth_steps,
+            speed=1.0, yaw_rate=0.005, seed=args.seed)
         scans = iter(scan_list)
 
     outdir = args.output

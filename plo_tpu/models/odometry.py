@@ -16,6 +16,8 @@ optional async prefetch at the host level).
 from __future__ import annotations
 
 import dataclasses
+import functools
+import warnings
 from collections import deque
 from functools import partial
 from typing import Deque, Dict, List, Optional
@@ -165,6 +167,83 @@ def _make_icp_step(cfg: Config, jit: bool = True):
     return jax.jit(icp_step) if jit else icp_step
 
 
+# Config-keyed caches: FrontEnd and the jitted ICP step are stateless (frozen
+# config + compiled programs), so Odometry instances with the same config
+# share them — repeat constructions (tests, CLI reruns, checkpoint resume)
+# reuse XLA's compile cache instead of re-tracing fresh closures.
+@functools.lru_cache(maxsize=64)
+def _cached_frontend(cfg: Config, capacity: int) -> FrontEnd:
+    return FrontEnd(cfg, capacity=capacity)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_icp_step(cfg: Config):
+    return _make_icp_step(cfg)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_batch_step(cfg: Config, capacity: int, quantized: bool):
+    """One jitted program advancing a batch of frames: a lax.scan whose carry
+    holds the model-cloud window (the reference's accumulateTargetCloud state,
+    stacked [K, P]) and the previous filtered cloud. Sequential frame
+    semantics are preserved exactly; host cost drops to one transfer + one
+    dispatch per batch — the TPU-native version of the reference's
+    front-/back-end pipelining (SURVEY.md §2.3 P1-P3). The batch size is not
+    part of the cache key: jit re-specializes per scan length automatically."""
+    frontend = _cached_frontend(cfg, capacity)
+    run_frontend = frontend.raw_fn
+    icp = _make_icp_step(cfg, jit=False)
+
+    use_prior = cfg.laser_odometry.motion_prior
+    use_undistort = cfg.laser_odometry.undistort
+    qscale = Odometry.TRANSFER_QUANT_SCALE
+
+    def step(carry, inp):
+        window, last_filtered, prior, fidx, base_key = carry
+        raw, n_valid = inp
+        if quantized:
+            raw = raw.astype(jnp.float32) * qscale
+        key_f = jax.random.fold_in(base_key, fidx)
+        fe = run_frontend(raw, n_valid, key_f, last_filtered.xyz, None,
+                          last_filtered.valid, first_frame=False)
+        flat = fe.flat
+        if use_undistort:
+            # Constant-velocity sweep compensation with the previous frame's
+            # relative pose (carry `prior` = last rPose) — same source as the
+            # single-frame path's self._last_rel.
+            from plo_tpu.ops.undistort import undistort_cloud
+            flat = undistort_cloud(flat, prior)
+        # Target = concat of the window slots (invalid-padded slots
+        # contribute nothing — accumulateTargetCloud semantics while the
+        # queue is still filling, laser_odometry.cpp:126-135).
+        target = jax.tree_util.tree_map(
+            lambda a: a.reshape((-1,) + a.shape[2:]), window)
+        init_pose = prior if use_prior else None
+        rpose, iters, ncorr, _ = icp(flat, target,
+                                     jax.random.fold_in(key_f, 1), init_pose)
+        # Pack the whole per-frame result into ONE f32 row so the final
+        # device->host fetch is a single contiguous transfer (each extra
+        # leaf pays a full round trip on remote-tunnel links, and a D2H
+        # stalls the next H2D by ~100 ms on the axon relay).
+        out = jnp.concatenate(
+            [rpose.reshape(16),
+             iters[None].astype(jnp.float32), ncorr[None].astype(jnp.float32)]
+            + [fe.stats[k][None].astype(jnp.float32) for k in sorted(fe.stats)])
+        new_window = jax.tree_util.tree_map(
+            lambda a, n: jnp.concatenate([a[1:], n[None]], axis=0),
+            window, fe.filtered)
+        return (new_window, fe.filtered, rpose, fidx + 1, base_key), out
+
+    @jax.jit
+    def batch_step(raws, n_valids, window, last_filtered, prior, frame0, base_key):
+        init = (window, last_filtered, prior, frame0, base_key)
+        (window, last_filtered, prior, _, _), outs = jax.lax.scan(
+            step, init, (raws, n_valids))
+        return window, last_filtered, prior, outs
+
+    return batch_step
+
+
 class Odometry:
     """Full odometry engine: front-end + back-end + host-side pose chain.
 
@@ -191,8 +270,8 @@ class Odometry:
         assert transfer in ("int16", "float32")
         self.transfer = transfer
         self.cfg = cfg
-        self.frontend = FrontEnd(cfg, capacity=capacity)
-        self.icp_step = _make_icp_step(cfg)
+        self.frontend = _cached_frontend(cfg, capacity)
+        self.icp_step = _cached_icp_step(cfg)
         self.seed = seed
         self._key_counter = 0
         self.key = jax.random.PRNGKey(seed)
@@ -205,7 +284,14 @@ class Odometry:
         self.sync_every = sync_every
         self._last_rel = None  # device-resident previous rPose (undistortion)
         self._pending = []  # ("single", idx, rel, iters, ncorr, stats) | ("batch", idx0, packed)
-        self._stats_keys = None  # set when the batched step traces
+        from plo_tpu.models.pipeline import STATS_KEYS
+        self._stats_keys = STATS_KEYS  # batched result-row stats layout
+        # Scans larger than `capacity` are clamped (min(len, cap)); the count
+        # of dropped points is recorded here and warned about once — silent
+        # truncation at KITTI scale would otherwise go unnoticed (a ~120k-pt
+        # HDL-64 scan at capacity 57600 loses half its returns).
+        self.truncated_points = 0
+        self._warned_truncation = False
         # Device-resident model window [K, P] carried across batched calls —
         # avoids restacking/splitting the K clouds through cloud_queue on
         # every batch dispatch. cloud_queue is materialized from it lazily.
@@ -240,7 +326,20 @@ class Odometry:
             acc = acc.concat(c)
         return acc
 
+    def _note_truncation(self, n_raw: int):
+        if n_raw > self.frontend.capacity:
+            self.truncated_points += n_raw - self.frontend.capacity
+            if not self._warned_truncation:
+                self._warned_truncation = True
+                warnings.warn(
+                    f"scan with {n_raw} points exceeds capacity "
+                    f"{self.frontend.capacity}; {n_raw - self.frontend.capacity} "
+                    "points dropped (see Odometry.truncated_points). Raise "
+                    "`capacity` to cover the sensor's max return count.",
+                    RuntimeWarning, stacklevel=3)
+
     def process_scan(self, raw_pts: np.ndarray) -> Optional[OdometryFrame]:
+        self._note_truncation(len(raw_pts))
         fe: FrontEndOutput = self.frontend.process(
             raw_pts, self._next_key(), self.last_filtered,
             first_frame=(self.frame_count == 0))
@@ -329,63 +428,8 @@ class Odometry:
             jax.block_until_ready(self._device_window.xyz)
 
     # ------------------------------------------------------------------
-    # Batched on-device frame loop
+    # Batched on-device frame loop (program cached in _cached_batch_step)
     # ------------------------------------------------------------------
-    def _build_batch_step(self, batch: int):
-        """One jitted program advancing `batch` frames: a lax.scan whose carry
-        holds the model-cloud window (the reference's accumulateTargetCloud
-        state, stacked [K, P]) and the previous filtered cloud. Sequential
-        frame semantics are preserved exactly; host cost drops to one transfer
-        + one dispatch per `batch` scans — the TPU-native version of the
-        reference's front-/back-end pipelining (SURVEY.md §2.3 P1-P3)."""
-        run_frontend = self.frontend.raw_fn
-        icp = _make_icp_step(self.cfg, jit=False)
-
-        use_prior = self.cfg.laser_odometry.motion_prior
-        k_queue = self.cfg.laser_odometry.max_queue_size
-
-        quantized = self.transfer == "int16"
-        qscale = self.TRANSFER_QUANT_SCALE
-
-        def step(carry, inp):
-            window, last_filtered, prior, fidx = carry
-            raw, n_valid = inp
-            if quantized:
-                raw = raw.astype(jnp.float32) * qscale
-            key_f = jax.random.fold_in(self._base_key, fidx)
-            fe = run_frontend(raw, n_valid, key_f, last_filtered.xyz, None,
-                              last_filtered.valid, first_frame=False)
-            # Target = concat of the window slots (invalid-padded slots
-            # contribute nothing — accumulateTargetCloud semantics while the
-            # queue is still filling, laser_odometry.cpp:126-135).
-            target = jax.tree_util.tree_map(
-                lambda a: a.reshape((-1,) + a.shape[2:]), window)
-            init_pose = prior if use_prior else None
-            rpose, iters, ncorr, _ = icp(fe.flat, target,
-                                         jax.random.fold_in(key_f, 1), init_pose)
-            # Pack the whole per-frame result into ONE f32 row so the final
-            # device->host fetch is a single contiguous transfer (each extra
-            # leaf pays a full round trip on remote-tunnel links, and a D2H
-            # stalls the next H2D by ~100 ms on the axon relay).
-            self._stats_keys = tuple(sorted(fe.stats))
-            out = jnp.concatenate(
-                [rpose.reshape(16),
-                 iters[None].astype(jnp.float32), ncorr[None].astype(jnp.float32)]
-                + [fe.stats[k][None].astype(jnp.float32) for k in self._stats_keys])
-            new_window = jax.tree_util.tree_map(
-                lambda a, n: jnp.concatenate([a[1:], n[None]], axis=0),
-                window, fe.filtered)
-            return (new_window, fe.filtered, rpose, fidx + 1), out
-
-        @jax.jit
-        def batch_step(raws, n_valids, window, last_filtered, prior, frame0):
-            init = (window, last_filtered, prior, frame0)
-            (window, last_filtered, prior, _), outs = jax.lax.scan(
-                step, init, (raws, n_valids))
-            return window, last_filtered, prior, outs
-
-        return batch_step
-
     def _window_state(self) -> PointCloud:
         """The device window [K, P]: reuse the device-resident copy from the
         previous batch, else stack the host-side cloud queue (oldest first,
@@ -404,9 +448,8 @@ class Odometry:
         """Process an iterable of raw scans with the batched on-device loop.
         Frame 0 (and any remainder frames) go through the single-frame path;
         full batches run as one dispatch each. Call finalize() after."""
-        if not hasattr(self, "_batch_steps"):
-            self._batch_steps = {}
-            self._base_key = self.key
+        batch_step = _cached_batch_step(self.cfg, self.frontend.capacity,
+                                        self.transfer == "int16")
         scans = list(scans)
         i = 0
         cap = self.frontend.capacity
@@ -415,8 +458,6 @@ class Odometry:
                 self.process_scan(scans[i])
                 i += 1
                 continue
-            if batch not in self._batch_steps:
-                self._batch_steps[batch] = self._build_batch_step(batch)
             if self.transfer == "int16":
                 # Fixed-point xyz-only transfer (intensity is never read from
                 # raw points — preprocess overwrites it with ring+relTime).
@@ -425,6 +466,7 @@ class Odometry:
                 nvs = np.zeros((batch,), np.int32)
                 for j in range(batch):
                     raw = scans[i + j]
+                    self._note_truncation(len(raw))
                     n_native = native.quantize_pack(raw, float(inv), raws[j])
                     if n_native is not None:
                         nvs[j] = n_native
@@ -441,15 +483,16 @@ class Odometry:
                 nvs = np.zeros((batch,), np.int32)
                 for j in range(batch):
                     raw = scans[i + j]
+                    self._note_truncation(len(raw))
                     n = min(len(raw), cap)
                     raws[j, :n, : raw.shape[1]] = raw[:n, :4]
                     nvs[j] = n
             window = self._window_state()
             frame0 = jnp.asarray(self.frame_count, jnp.int32)
             prior = self._last_rel if self._last_rel is not None else jnp.eye(4, dtype=jnp.float32)
-            new_window, new_last, new_prior, outs = self._batch_steps[batch](
+            new_window, new_last, new_prior, outs = batch_step(
                 jnp.asarray(raws), jnp.asarray(nvs), window,
-                self.last_filtered, prior, frame0)
+                self.last_filtered, prior, frame0, self.key)
             self._last_rel = new_prior
             # outs: [batch, 18+K] packed rows; defer the (single-leaf) fetch.
             self._pending.append(("batch", self.frame_count, outs))

@@ -38,6 +38,10 @@ class FrontEndOutput:
 
 _FOV = {16: (15.0, -15.0), 32: (15.0, -25.0), 64: (2.0, -24.33)}  # scan_registration.cpp:921-930
 
+# Per-frame stats emitted by every pipeline (sorted — the batched driver packs
+# them into its fused result row in this order).
+STATS_KEYS = ("n_candidates", "n_filtered", "n_plane_fail", "n_preprocessed", "n_sampled")
+
 
 class FrontEnd:
     """Builds and holds the jitted per-config pipeline."""

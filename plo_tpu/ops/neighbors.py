@@ -99,8 +99,12 @@ def knn(
     approx_min_k selection network per chunk (measured ~7x faster at recall
     1.0000 on LiDAR-scale data; the cross-chunk merge stays exact) — the
     fast path for production configs, parity remains statistical
-    (SURVEY.md §7.3 RNG note).
+    (SURVEY.md §7.3 RNG note). On CPU backends approx_min_k lowers to a full
+    sort (measured 6.1 s vs 0.055 s for top_k at [1500, 16k]), so "approx"
+    silently degrades to the exact top_k there — same results, right speed.
     """
+    if select == "approx" and jax.default_backend() == "cpu":
+        select = "exact"
     q = query.shape[0]
     chunk = _auto_chunk(q, target.shape[0], chunk)
     tchunks, vchunks, n_chunks = _pad_targets(target, target_valid, chunk)

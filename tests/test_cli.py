@@ -5,12 +5,32 @@ import subprocess
 import sys
 
 
+def light_config(tmp_path):
+    """Reference-format config.json with a CPU-cheap method combo (also
+    exercises the --config loading path, common.cpp:3-17)."""
+    tree = {
+        "scan_registration": {
+            "compute_normal_method": {"format": "pointcloud", "method": "pca"},
+            "presample_method": {"method": "geometric_features"},
+            "sample_method": {"method": "random", "random": {"max_points": 1500}},
+        },
+        "laser_odometry": {
+            "matching_method": {"method": "plane_ICP"},
+            "solve_method": {"method": "LS", "iterations": 20},
+        },
+    }
+    p = tmp_path / "config.json"
+    p.write_text(json.dumps(tree))
+    return str(p)
+
+
 def test_cli_synthetic_run(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     out = subprocess.run(
         [sys.executable, "-m", "plo_tpu.cli",
          "--dataset", "synthetic", "--frames", "3", "--platform", "cpu",
-         "--capacity", "32768", "--scan-lines", "64",
+         "--capacity", "16384", "--scan-lines", "32", "--azimuth-steps", "450",
+         "--azimuth-resolution", "0.8", "--config", light_config(tmp_path),
          "--output", str(tmp_path), "--eval-gt", "--save-artifacts"],
         capture_output=True, text=True, timeout=900, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -40,7 +60,7 @@ def test_cli_kitti_layout(tmp_path):
     from plo_tpu.io import synthetic
 
     scans, gt_velo = synthetic.synthetic_sequence(
-        3, n_scans=64, azimuth_steps=900, speed=1.0, yaw_rate=0.005, seed=4)
+        3, n_scans=32, azimuth_steps=450, speed=0.5, yaw_rate=0.005, seed=4)
 
     root = tmp_path / "kitti"
     vdir = root / "sequences" / "07" / "velodyne"
@@ -65,8 +85,10 @@ def test_cli_kitti_layout(tmp_path):
     out = subprocess.run(
         [sys.executable, "-m", "plo_tpu.cli",
          "--dataset", "kitti", "--kitti-root", str(root), "--seq", "07",
-         "--frames", "3", "--platform", "cpu", "--capacity", "65536",
-         "--scan-lines", "64", "--output", str(tmp_path / "out"), "--eval-gt"],
+         "--frames", "3", "--platform", "cpu", "--capacity", "16384",
+         "--scan-lines", "32", "--azimuth-resolution", "0.8",
+         "--config", light_config(tmp_path),
+         "--output", str(tmp_path / "out"), "--eval-gt"],
         capture_output=True, text=True, timeout=900, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )

@@ -8,9 +8,9 @@ from plo_tpu.ops import features, preprocess, sampling
 
 
 def preprocessed_scan(seed=0):
-    scans, _ = synthetic.synthetic_sequence(1, n_scans=64, azimuth_steps=720, seed=seed)
+    scans, _ = synthetic.synthetic_sequence(1, n_scans=64, azimuth_steps=360, seed=seed)
     raw = scans[0]
-    P = 65536
+    P = 24576
     pts = np.zeros((P, 4), np.float32)
     n = min(len(raw), P)
     pts[:n] = raw[:n]

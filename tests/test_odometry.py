@@ -13,11 +13,22 @@ def rel_to_first(poses):
     return np.einsum("ij,njk->nik", np.linalg.inv(poses[0]), poses)
 
 
+# CPU-sized test scans: 32 beams x 450 firings (~11k valid points) keep every
+# code path identical to the HDL-64 x 900 production shape while running the
+# whole e2e file in ~2 min on CPU; one full-size run is kept under -m slow.
+N_SCANS, AZ_STEPS, CAPACITY = 32, 450, 16384
+
+
+def small_sequence(n_frames, speed=0.5, yaw_rate=0.01, seed=3, world=None):
+    return synthetic.synthetic_sequence(
+        n_frames, n_scans=N_SCANS, azimuth_steps=AZ_STEPS, speed=speed,
+        yaw_rate=yaw_rate, seed=seed, world=world)
+
+
 def run_sequence(cfg, n_frames=5, speed=0.5, yaw_rate=0.01, seed=3, world=None):
-    scans, gt = synthetic.synthetic_sequence(
-        n_frames, n_scans=64, azimuth_steps=900, speed=speed, yaw_rate=yaw_rate,
-        seed=seed, world=world)
-    odo = Odometry(cfg, capacity=65536, seed=0)
+    scans, gt = small_sequence(n_frames, speed=speed, yaw_rate=yaw_rate,
+                               seed=seed, world=world)
+    odo = Odometry(cfg, capacity=CAPACITY, seed=0)
     for s in scans:
         odo.process_scan(s)
     est = odo.poses()
@@ -30,10 +41,10 @@ def base_config(**kw):
             compute_normal_method=cfgmod.ComputeNormalConfig(format="pointcloud", method="pca"),
             presample_method=cfgmod.PresampleConfig(method="geometric_features"),
             sample_method=cfgmod.SampleConfig(
-                method="random", random=cfgmod.RandomSampleConfig(max_points=2000)),
+                method="random", random=cfgmod.RandomSampleConfig(max_points=1500)),
         ),
         laser_odometry=cfgmod.LaserOdometryConfig(**kw),
-        sensor=cfgmod.SensorConfig(n_scans=64),
+        sensor=cfgmod.SensorConfig(n_scans=N_SCANS, azimuth_resolution=360.0 / AZ_STEPS),
     )
 
 
@@ -111,11 +122,10 @@ def test_batched_driver_matches_single_frame_quality():
         matching_method=cfgmod.MatchingConfig(method="plane_ICP"),
         solve_method=cfgmod.SolveConfig(method="LS", iterations=30),
     )
-    scans, gt = synthetic.synthetic_sequence(
-        6, n_scans=64, azimuth_steps=900, speed=0.5, yaw_rate=0.01, seed=3)
+    scans, gt = small_sequence(6)
     gtr = rel_to_first(gt)
 
-    odo = Odometry(cfg, capacity=65536, seed=0, async_mode=True)
+    odo = Odometry(cfg, capacity=CAPACITY, seed=0, async_mode=True)
     odo.process_scans(scans, batch=4)
     odo.finalize()
     assert odo.frame_count == 6
@@ -190,9 +200,8 @@ def test_motion_prior_mode():
     ate = evaluate.ate_rmse(est, gt, align=False)
     assert ate < 0.1, f"ATE {ate}"
     # Batched driver honors the prior too.
-    scans, gt2 = synthetic.synthetic_sequence(6, n_scans=64, azimuth_steps=900,
-                                              speed=1.0, yaw_rate=0.01, seed=3)
-    odo2 = Odometry(cfg, capacity=65536, seed=0, async_mode=True)
+    scans, gt2 = small_sequence(6, speed=1.0)
+    odo2 = Odometry(cfg, capacity=CAPACITY, seed=0, async_mode=True)
     odo2.process_scans(scans, batch=4)
     odo2.finalize()
     gtr2 = rel_to_first(gt2)
@@ -208,10 +217,9 @@ def test_batched_driver_multi_queue():
         solve_method=cfgmod.SolveConfig(method="LS", iterations=20),
     )
     cfg = dc.replace(cfg, laser_odometry=dc.replace(cfg.laser_odometry, max_queue_size=2))
-    scans, gt = synthetic.synthetic_sequence(
-        6, n_scans=64, azimuth_steps=900, speed=0.5, yaw_rate=0.01, seed=3)
+    scans, gt = small_sequence(6)
     gtr = rel_to_first(gt)
-    odo = Odometry(cfg, capacity=32768, seed=0, async_mode=True)
+    odo = Odometry(cfg, capacity=CAPACITY, seed=0, async_mode=True)
     odo.process_scans(scans, batch=4)
     odo.finalize()
     ate = evaluate.ate_rmse(odo.poses(), gtr, align=False)
@@ -228,13 +236,13 @@ def test_grid_pca_frontend_e2e():
                 format="range_image", method="pca"),
             presample_method=cfgmod.PresampleConfig(method="geometric_features"),
             sample_method=cfgmod.SampleConfig(
-                method="random", random=cfgmod.RandomSampleConfig(max_points=2000)),
+                method="random", random=cfgmod.RandomSampleConfig(max_points=1500)),
         ),
         laser_odometry=cfgmod.LaserOdometryConfig(
             matching_method=cfgmod.MatchingConfig(method="IMLS"),
             solve_method=cfgmod.SolveConfig(method="LS", iterations=30),
         ),
-        sensor=cfgmod.SensorConfig(n_scans=64, azimuth_resolution=0.4),
+        sensor=cfgmod.SensorConfig(n_scans=N_SCANS, azimuth_resolution=360.0 / AZ_STEPS),
     )
     world = synthetic.SyntheticWorld.corridor(seed=7, n_boxes=140, extent=120.0)
     est, gt, _ = run_sequence(cfg, n_frames=4, world=world)
@@ -245,12 +253,14 @@ def test_grid_pca_frontend_e2e():
 def test_quantized_transfer_trajectory():
     """int16 fixed-point scan transfer (5 mm steps) must not disturb the
     trajectory beyond the sensor-noise floor vs float32 transfer."""
-    cfg = base_config()
-    scans, gt = synthetic.synthetic_sequence(
-        6, n_scans=64, azimuth_steps=900, speed=0.4, yaw_rate=0.01, seed=3)
+    cfg = base_config(
+        matching_method=cfgmod.MatchingConfig(method="plane_ICP"),
+        solve_method=cfgmod.SolveConfig(method="LS", iterations=20),
+    )
+    scans, gt = small_sequence(6, speed=0.4)
     poses = {}
     for transfer in ("float32", "int16"):
-        odo = Odometry(cfg, capacity=32768, seed=0, async_mode=True, transfer=transfer)
+        odo = Odometry(cfg, capacity=CAPACITY, seed=0, async_mode=True, transfer=transfer)
         odo.process_scans(scans, batch=2)
         odo.finalize()
         poses[transfer] = odo.poses()
@@ -261,3 +271,33 @@ def test_quantized_transfer_trajectory():
     # the two transfer modes agree to sub-cm
     dt = np.linalg.norm(poses["int16"][:, :3, 3] - poses["float32"][:, :3, 3], axis=1)
     assert dt.max() < 0.02, dt
+
+
+@pytest.mark.slow
+def test_full_size_hdl64_headline():
+    """Full-size HDL-64 x 900 run of the headline config (IMLS + RANSAC/DRPM)
+    — the production shape; excluded from the default suite (-m slow)."""
+    world = synthetic.SyntheticWorld.corridor(seed=7, n_boxes=140, extent=60.0)
+    cfg = cfgmod.Config(
+        scan_registration=cfgmod.ScanRegistrationConfig(
+            compute_normal_method=cfgmod.ComputeNormalConfig(format="pointcloud", method="pca"),
+            presample_method=cfgmod.PresampleConfig(method="geometric_features"),
+            sample_method=cfgmod.SampleConfig(
+                method="random", random=cfgmod.RandomSampleConfig(max_points=2000)),
+        ),
+        laser_odometry=cfgmod.LaserOdometryConfig(
+            matching_method=cfgmod.MatchingConfig(method="IMLS"),
+            solve_method=cfgmod.SolveConfig(
+                method="RANSAC", iterations=30,
+                ransac=cfgmod.RANSACConfig(max_iterations=300, distance_threshold=0.2,
+                                           final_solve_method="DRPM")),
+        ),
+        sensor=cfgmod.SensorConfig(n_scans=64, azimuth_resolution=0.4),
+    )
+    scans, gt = synthetic.synthetic_sequence(
+        4, n_scans=64, azimuth_steps=900, speed=0.5, yaw_rate=0.01, seed=3, world=world)
+    odo = Odometry(cfg, capacity=65536, seed=0)
+    for s in scans:
+        odo.process_scan(s)
+    ate = evaluate.ate_rmse(odo.poses(), rel_to_first(gt), align=False)
+    assert ate < 0.05, f"ATE {ate}"

@@ -50,9 +50,9 @@ def test_vote_for_any_plane_normals(rng):
 
 
 def test_saliency_presample_on_scan():
-    scans, _ = synthetic.synthetic_sequence(1, n_scans=64, azimuth_steps=720, seed=2)
+    scans, _ = synthetic.synthetic_sequence(1, n_scans=64, azimuth_steps=360, seed=2)
     raw = scans[0]
-    P = 65536
+    P = 24576
     pts = np.zeros((P, 4), np.float32)
     n = min(len(raw), P)
     pts[:n] = raw[:n]
@@ -103,12 +103,12 @@ def test_tensor_voting_pipeline_e2e():
                         enabled=True, k=20, sigma=0.2, distance_threshold=10.0))),
             solve_method=cfgmod.SolveConfig(method="LS", iterations=20),
         ),
-        sensor=cfgmod.SensorConfig(n_scans=64),
+        sensor=cfgmod.SensorConfig(n_scans=32, azimuth_resolution=1.0),
     )
     world = synthetic.SyntheticWorld.corridor(seed=7, n_boxes=140, extent=60.0)
-    scans, gt = synthetic.synthetic_sequence(3, n_scans=64, azimuth_steps=720,
+    scans, gt = synthetic.synthetic_sequence(2, n_scans=32, azimuth_steps=360,
                                              speed=0.4, seed=5, world=world)
-    odo = Odometry(cfg, capacity=65536, seed=0)
+    odo = Odometry(cfg, capacity=12288, seed=0)
     frames = [odo.process_scan(s) for s in scans]
     assert all(np.isfinite(f.pose).all() for f in frames)
     assert frames[-1].n_correspondences > 0  # the voted-normal path matched

@@ -30,7 +30,8 @@ odo.process_scans(scans[:1 + batch], batch=batch)
 odo.finalize()
 
 cap = 65536
-bs = odo._batch_steps[batch]
+from plo_tpu.models.odometry import _cached_batch_step
+bs = _cached_batch_step(odo.cfg, odo.frontend.capacity, odo.transfer == "int16")
 i0 = 1 + batch
 for it in range(3):
     t0 = time.perf_counter()
@@ -50,7 +51,7 @@ for it in range(3):
     frame0 = jnp.asarray(odo.frame_count, jnp.int32)
     jax.block_until_ready(window)
     t3 = time.perf_counter()
-    new_window, new_last, new_prior, outs = bs(raws_d, nvs_d, window, odo.last_filtered, prior, frame0)
+    new_window, new_last, new_prior, outs = bs(raws_d, nvs_d, window, odo.last_filtered, prior, frame0, odo.key)
     jax.block_until_ready(new_window)
     t4 = time.perf_counter()
     rposes, iters, ncorrs, stats = outs
