@@ -67,6 +67,12 @@ def main(argv=None):
         cfg = cfgmod.load(args.config, sensor=sensor)
     else:
         cfg = cfgmod.Config(sensor=sensor)
+    if args.save_artifacts and args.output:
+        # Artifact mode also turns on the per-iteration matched-pair/pose
+        # dumps inside the ICP loop (laser_odometry.cpp:621-625).
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, saver=cfgmod.SaverConfig(
+            output_dir=args.output, enabled=True))
 
     gt = None
     if args.dataset == "kitti":

@@ -385,6 +385,16 @@ def from_dict(tree: Dict[str, Any], sensor: Optional[SensorConfig] = None) -> Co
         laser_odometry=LaserOdometryConfig(
             max_queue_size=int(_get(lo, "max_queue_size", 1)),
             transform_normal=bool(_get(lo, "transform_normal", False)),
+            # Reference-format loads default to reference semantics: the
+            # shipped laser_odometry node initializes every frame's ICP at
+            # identity (rPose reset, laser_odometry.cpp:484-485) and runs no
+            # sweep compensation (DISTORTION 0, :29). The extensions are
+            # explicit opt-ins via these (non-reference) keys; the Python
+            # `Config()` constructor keeps motion_prior=True as the
+            # framework's own recommended default.
+            motion_prior=bool(_get(lo, "motion_prior", False)),
+            undistort=bool(_get(lo, "undistort", False)),
+            refresh_correspondences=bool(_get(lo, "refresh_correspondences", True)),
             matching_method=MatchingConfig(
                 method=str(_get(mm, "method", "IMLS")),
                 correspond_number=int(_get(mm, "correspond_number", 6)),

@@ -48,16 +48,15 @@ class OdometryFrame:
     stats: Dict[str, float]
 
 
-def _make_icp_step(cfg: Config, jit: bool = True):
-    """Build the per-frame ICP loop for a config (jitted unless jit=False)."""
+def _build_match_solve(cfg: Config):
+    """The per-iteration MATCH and SOLVE closures plus their dispatch flags —
+    shared by the fused while_loop driver (_make_icp_step) and the host-driven
+    artifact/debug loop (_make_icp_iteration)."""
     lo = cfg.laser_odometry
     mm = lo.matching_method
     sv = lo.solve_method
     matching_method = mm.method
     solve_method = sv.method
-    transform_normal = lo.transform_normal
-    correspond_number = mm.correspond_number
-    iterations = sv.iterations
 
     imls_cfg = mm.imls
     picp_cfg = mm.plane_icp
@@ -108,16 +107,33 @@ def _make_icp_step(cfg: Config, jit: bool = True):
                                  t.rotation_gnc_factor, min(t.rotation_max_iterations, 64))
         raise ValueError(f"invalid solve method {solve_method!r}")
 
-    def icp_step(flat: PointCloud, target: PointCloud, key, init_pose=None):
-        if init_pose is None:
-            init_pose = jnp.eye(4, dtype=jnp.float32)
+    def prepare_target(target: PointCloud):
+        """Per-frame target-normal preparation (the get_normals=false path
+        precomputes ComputeNormal for every target point once)."""
         if use_precomputed_normals:
-            tgt_normal, tgt_normal_ok = matching.precompute_target_normals(
+            return matching.precompute_target_normals(
                 target.xyz, target.valid,
                 imls_cfg.get_normals.r_normal,
                 imls_cfg.get_normals.search_number_normal)
-        else:
-            tgt_normal, tgt_normal_ok = target.normal, target.valid
+        return target.normal, target.valid
+
+    return match, solve, prepare_target, freeze_correspondences, imls_cfg
+
+
+def _make_icp_step(cfg: Config, jit: bool = True):
+    """Build the per-frame ICP loop for a config (jitted unless jit=False)."""
+    lo = cfg.laser_odometry
+    sv = lo.solve_method
+    transform_normal = lo.transform_normal
+    correspond_number = lo.matching_method.correspond_number
+    iterations = sv.iterations
+    match, solve, prepare_target, freeze_correspondences, imls_cfg = \
+        _build_match_solve(cfg)
+
+    def icp_step(flat: PointCloud, target: PointCloud, key, init_pose=None):
+        if init_pose is None:
+            init_pose = jnp.eye(4, dtype=jnp.float32)
+        tgt_normal, tgt_normal_ok = prepare_target(target)
 
         if freeze_correspondences:
             # One full candidate search at the initial pose; the loop body
@@ -165,6 +181,47 @@ def _make_icp_step(cfg: Config, jit: bool = True):
         return rpose, i, n_corr, converged
 
     return jax.jit(icp_step) if jit else icp_step
+
+
+def _make_icp_iteration(cfg: Config):
+    """One jitted ICP iteration at an explicit rPose: transform -> match ->
+    solve -> compose (the reference's inlined loop body,
+    laser_odometry.cpp:524-647), split out so a host-driven loop can dump the
+    per-iteration matched pairs and poses the reference writes every
+    iteration (laser_odometry.cpp:621-625, saver.cpp:94-110). Returns
+    (prepare, iteration)."""
+    lo = cfg.laser_odometry
+    sv = lo.solve_method
+    transform_normal = lo.transform_normal
+    correspond_number = lo.matching_method.correspond_number
+    match, solve, prepare_target, _, _ = _build_match_solve(cfg)
+
+    @jax.jit
+    def prepare(target: PointCloud):
+        return prepare_target(target)
+
+    @jax.jit
+    def iteration(flat: PointCloud, target: PointCloud, tgt_normal,
+                  tgt_normal_ok, rpose, key):
+        src_xyz = geo.transform_points(rpose, flat.xyz)
+        if transform_normal:
+            src_normal = geo.rotate_vectors(rpose, flat.normal)
+        else:
+            src_normal = flat.normal
+        src = dataclasses.replace(flat, xyz=src_xyz, normal=src_normal)
+        res = match(src, target, tgt_normal, tgt_normal_ok)
+        n_corr = jnp.sum(res.valid.astype(jnp.int32))
+        enough = n_corr >= correspond_number
+        delta, ok = solve(src_xyz, res.y, res.normal, res.valid, key)
+        delta = jnp.where(enough & ok, delta, jnp.eye(4, dtype=delta.dtype))
+        new_rpose = delta @ rpose
+        ddist = jnp.linalg.norm(delta[:3, 3])
+        dangle = geo.rotation_angle(delta[:3, :3])
+        converged = (ddist < sv.delta_dist_threshold) & (dangle < sv.delta_angle_threshold)
+        done = ~(enough & ok) | converged
+        return new_rpose, src_xyz, res.y, res.valid, n_corr, done, converged
+
+    return prepare, iteration
 
 
 # Config-keyed caches: FrontEnd and the jitted ICP step are stateless (frozen
@@ -292,6 +349,12 @@ class Odometry:
         # HDL-64 scan at capacity 57600 loses half its returns).
         self.truncated_points = 0
         self._warned_truncation = False
+        # Artifact mode (saver.enabled + output_dir): the ICP loop runs
+        # host-driven and dumps per-iteration matched pairs + poses, exactly
+        # the reference's debugging loop (laser_odometry.cpp:621-625).
+        self._artifact_dir = (cfg.saver.output_dir
+                              if cfg.saver.enabled and cfg.saver.output_dir else None)
+        self._icp_iteration = _make_icp_iteration(cfg) if self._artifact_dir else None
         # Device-resident model window [K, P] carried across batched calls —
         # avoids restacking/splitting the K clouds through cloud_queue on
         # every batch dispatch. cloud_queue is materialized from it lazily.
@@ -353,7 +416,11 @@ class Odometry:
             init = None
             if self.cfg.laser_odometry.motion_prior and self._last_rel is not None:
                 init = self._last_rel  # constant-velocity ICP init
-            rpose, i, nc, converged = self.icp_step(flat, target, self._next_key(), init)
+            if self._artifact_dir is not None:
+                rpose, i, nc, converged = self._icp_loop_with_artifacts(
+                    flat, target, self._next_key(), init)
+            else:
+                rpose, i, nc, converged = self.icp_step(flat, target, self._next_key(), init)
             self._last_rel = rpose  # device-resident; no host sync
         else:
             rpose = jnp.eye(4, dtype=jnp.float32)
@@ -376,6 +443,40 @@ class Odometry:
             return None
         self._drain()
         return self.trajectory[-1]
+
+    def _icp_loop_with_artifacts(self, flat: PointCloud, target: PointCloud,
+                                 key, init_pose):
+        """Host-driven ICP loop dumping per-iteration matched pairs +
+        intermediate poses into the saver output dir — reproduces the
+        reference's per-iteration artifact trail (laser_odometry.cpp:621-625):
+        matched_points/f<frame>_i<iter>.txt ("sx sy sz rx ry rz" rows) and
+        iter_poses.txt (TUM lines timestamped frame.iter)."""
+        import os
+        from plo_tpu.utils import saver as saver_mod
+
+        rpose = init_pose if init_pose is not None else jnp.eye(4, dtype=jnp.float32)
+        tgt_normal, tgt_normal_ok = self._icp_iteration[0](target)
+        iterations = self.cfg.laser_odometry.solve_method.iterations
+        frame = self.frame_count
+        n_corr = 0
+        converged = False
+        i = 0
+        for i in range(1, iterations + 1):
+            iter_key = jax.random.fold_in(key, i - 1)
+            rpose, src_xyz, y, valid, n_corr, done, converged = \
+                self._icp_iteration[1](flat, target, tgt_normal, tgt_normal_ok,
+                                       rpose, iter_key)
+            saver_mod.save_matched_points(
+                src_xyz, y, valid,
+                os.path.join(self._artifact_dir, "matched_points",
+                             f"f{frame:06d}_i{i - 1:02d}.txt"))
+            saver_mod.save_pose_tum(
+                np.asarray(rpose, np.float64),
+                os.path.join(self._artifact_dir, "iter_poses.txt"),
+                f"{frame}.{i - 1:02d}")
+            if bool(done):
+                break
+        return rpose, jnp.asarray(i, jnp.int32), n_corr, converged
 
     def _drain(self):
         """Fetch every pending frame's results in ONE device->host transfer

@@ -55,6 +55,19 @@ class FrontEnd:
         self.presample_method = sr.presample_method.method
         self.sample_method = sr.sample_method.method
 
+        # Fail fast on invalid stage combinations (the reference would crash
+        # or silently emit garbage at runtime; here the pipeline build is the
+        # single validation point). Tensor voting consumes PCA eigen-pairs
+        # (scan_registration.cpp:342-390): without a PCA stage the tensors are
+        # undefined — FALS/SRI provide no eigvecs, cross_product leaves them
+        # zero.
+        if self.presample_method == "tensor_voting" and self.normal_method != "pca":
+            raise ValueError(
+                "presample_method 'tensor_voting' requires compute_normal_method "
+                f"'pca' (got format={self.format!r} method={self.normal_method!r}): "
+                "the saliency filter encodes each point's tensor from PCA "
+                "eigen-pairs; FALS/SRI/cross_product produce none.")
+
         self.height = cfg.sensor.n_scans
         self.width = cfg.grid_width
         fov_up, fov_down = _FOV[cfg.sensor.n_scans]

@@ -47,6 +47,12 @@ def test_cli_synthetic_run(tmp_path):
     assert (tmp_path / "pcl_cloud" / "000000.txt").exists()
     assert (tmp_path / "pca_markers" / "000000.obj").exists()
     assert (tmp_path / "imls_results.txt").exists()
+    # Per-iteration ICP artifacts (laser_odometry.cpp:621-625).
+    m0 = tmp_path / "matched_points" / "f000001_i00.txt"
+    assert m0.exists()
+    assert len(m0.read_text().strip().split("\n")[0].split()) == 6  # sx sy sz rx ry rz
+    iter_lines = (tmp_path / "iter_poses.txt").read_text().strip().split("\n")
+    assert len(iter_lines) >= 2 and len(iter_lines[0].split()) == 8  # TUM rows
     # ATE JSON line on stdout.
     ate_line = [l for l in out.stdout.strip().split("\n") if l.startswith("{")][-1]
     assert "ate_m" in json.loads(ate_line)
