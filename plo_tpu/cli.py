@@ -46,6 +46,9 @@ def build_parser():
     p.add_argument("--batch", type=int, default=1,
                    help="frames per device dispatch (the batched on-device "
                         "loop; >1 requires max_queue_size==1)")
+    p.add_argument("--target-mode", choices=["window", "map"], default=None,
+                   help="override the target model: reference window or "
+                        "persistent voxel map (frame-to-map)")
     return p
 
 
@@ -67,6 +70,10 @@ def main(argv=None):
         cfg = cfgmod.load(args.config, sensor=sensor)
     else:
         cfg = cfgmod.Config(sensor=sensor)
+    if args.target_mode:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, laser_odometry=_dc.replace(
+            cfg.laser_odometry, target_mode=args.target_mode))
     if args.save_artifacts and args.output:
         # Artifact mode also turns on the per-iteration matched-pair/pose
         # dumps inside the ICP loop (laser_odometry.cpp:621-625).

@@ -239,8 +239,34 @@ class SolveConfig:  # config.json:131-170
 
 
 @dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Extension: persistent voxel-map target (frame-to-map odometry).
+
+    Generalizes accumulateTargetCloud (laser_odometry.cpp:116-136): the model
+    is a fixed-capacity world-frame voxel map (one stable point per occupied
+    voxel, farthest-from-sensor eviction — ops/voxel.py::voxel_map_insert)
+    instead of a rolling window of whole frames."""
+    voxel_size: float = 0.3
+    capacity: int = 65536
+    n_buckets: int = 1 << 19
+    # Correspondence search against the map: "dense" = the exact chunked
+    # engine (ops/neighbors.py); "grid_hash" = the sub-linear 27-cell bucket
+    # gather (ops/grid_hash.py; freeze-mode euclidean IMLS only).
+    search: str = "dense"
+    grid_cell: float = 1.5     # grid-hash cell edge; exact within min(r, cell)
+    grid_m: int = 128          # grid-hash per-cell candidate cap
+    grid_buckets: int = 1 << 17
+
+
+@dataclasses.dataclass(frozen=True)
 class LaserOdometryConfig:  # config.json:83-171
     max_queue_size: int = 1
+    # Extension: target model selection. "window" = the reference's rolling
+    # max_queue_size window of filtered frames (parity mode); "map" = the
+    # persistent world-frame voxel map (MapConfig). ICP runs in the previous
+    # frame's coords for "window" and in world coords for "map".
+    target_mode: str = "window"
+    map: MapConfig = MapConfig()
     transform_normal: bool = False
     # Extension: per-point constant-velocity motion compensation (the
     # reference ships this capability disabled — DISTORTION 0,
@@ -384,6 +410,14 @@ def from_dict(tree: Dict[str, Any], sensor: Optional[SensorConfig] = None) -> Co
         ),
         laser_odometry=LaserOdometryConfig(
             max_queue_size=int(_get(lo, "max_queue_size", 1)),
+            target_mode=str(_get(lo, "target_mode", "window")),
+            map=MapConfig(
+                voxel_size=float(_get(lo.get("map", {}), "voxel_size", 0.3)),
+                capacity=int(_get(lo.get("map", {}), "capacity", 65536)),
+                search=str(_get(lo.get("map", {}), "search", "dense")),
+                grid_cell=float(_get(lo.get("map", {}), "grid_cell", 1.5)),
+                grid_m=int(_get(lo.get("map", {}), "grid_m", 128)),
+            ),
             transform_normal=bool(_get(lo, "transform_normal", False)),
             # Reference-format loads default to reference semantics: the
             # shipped laser_odometry node initializes every frame's ICP at

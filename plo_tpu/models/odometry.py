@@ -60,11 +60,17 @@ def _build_match_solve(cfg: Config):
 
     imls_cfg = mm.imls
     picp_cfg = mm.plane_icp
+    map_mode = lo.target_mode == "map"
     use_tensor_voting = (matching_method == "IMLS"
                          and not imls_cfg.get_normals.enabled
                          and imls_cfg.use_tensor_voting.enabled)
+    # Map mode uses the normals stored at insertion time (a surfel map) even
+    # on the get_normals=false path — recomputing ComputeNormal over the whole
+    # map every frame (imls_icp.cpp:404-434) would be O(M^2) for no accuracy
+    # gain; the stored normals came from the same front-end math.
     use_precomputed_normals = (matching_method == "IMLS"
-                               and not imls_cfg.get_normals.enabled)
+                               and not imls_cfg.get_normals.enabled
+                               and not map_mode)
     freeze_correspondences = (matching_method == "IMLS"
                               and not lo.refresh_correspondences
                               and not imls_cfg.use_projected_distance.enabled
@@ -124,7 +130,13 @@ def _make_icp_step(cfg: Config, jit: bool = True):
     """Build the per-frame ICP loop for a config (jitted unless jit=False)."""
     lo = cfg.laser_odometry
     sv = lo.solve_method
-    transform_normal = lo.transform_normal
+    # Map mode forces normal rotation: the map's normals live in WORLD frame,
+    # so the 30-degree angle gate must compare world-frame source normals —
+    # with the reference's transform_normal=False (a window-mode quirk; the
+    # frame-to-frame rotation is tiny there) the gate would reject everything
+    # once accumulated yaw exceeds the threshold and the pose would run away
+    # on the prior.
+    transform_normal = lo.transform_normal or lo.target_mode == "map"
     correspond_number = lo.matching_method.correspond_number
     iterations = sv.iterations
     match, solve, prepare_target, freeze_correspondences, imls_cfg = \
@@ -141,7 +153,12 @@ def _make_icp_step(cfg: Config, jit: bool = True):
             # (identical to a full match at iteration 0, cheaper afterwards).
             src0 = dataclasses.replace(
                 flat, xyz=geo.transform_points(init_pose, flat.xyz))
-            cache = matching.imls_search(src0, target, imls_cfg)
+            if lo.target_mode == "map" and lo.map.search == "grid_hash":
+                cache = matching.imls_search_grid(
+                    src0, target, imls_cfg, lo.map.grid_cell, lo.map.grid_m,
+                    lo.map.grid_buckets)
+            else:
+                cache = matching.imls_search(src0, target, imls_cfg)
 
         def cond(state):
             i, rpose, done, _, _ = state
@@ -192,7 +209,7 @@ def _make_icp_iteration(cfg: Config):
     (prepare, iteration)."""
     lo = cfg.laser_odometry
     sv = lo.solve_method
-    transform_normal = lo.transform_normal
+    transform_normal = lo.transform_normal or lo.target_mode == "map"
     correspond_number = lo.matching_method.correspond_number
     match, solve, prepare_target, _, _ = _build_match_solve(cfg)
 
@@ -239,6 +256,47 @@ def _cached_icp_step(cfg: Config):
 
 
 @functools.lru_cache(maxsize=64)
+def _cached_map_ops(cfg: Config):
+    """Jitted helpers for the map target mode: world-frame map insertion and
+    the relative/prior pose algebra kept device-resident."""
+    from plo_tpu.ops import voxel as voxel_ops
+
+    mp = cfg.laser_odometry.map
+
+    @jax.jit
+    def insert(map_cloud: PointCloud, filtered: PointCloud, wpose):
+        world = dataclasses.replace(
+            filtered,
+            xyz=geo.transform_points(wpose, filtered.xyz),
+            normal=geo.rotate_vectors(wpose, filtered.normal))
+        return voxel_ops.voxel_map_insert(
+            map_cloud, world, mp.voxel_size, wpose[:3, 3], mp.n_buckets)
+
+    def _fix(T):
+        # Re-project the rotation onto SO(3). The world chain composes
+        # world -> rel (via a transpose-based inverse) -> next init every
+        # frame; a transpose-inverse of a slightly non-orthonormal R DOUBLES
+        # its defect, so f32 solver roundoff (~1e-6) grows exponentially —
+        # measured det(R)=0.989 by frame 15 (= 100 mm of scale error at 10 m)
+        # before this projection was added. One 3x3 SVD per frame is free.
+        return geo.make_se3(geo.orthonormalize(T[:3, :3]), T[:3, 3])
+
+    @jax.jit
+    def rel_of(world_prev, wpose):
+        return _fix(geo.se3_inverse(world_prev) @ wpose)
+
+    @jax.jit
+    def prior_of(world, last_rel):
+        return world @ last_rel
+
+    @jax.jit
+    def fix_pose(T):
+        return _fix(T)
+
+    return insert, rel_of, prior_of, fix_pose
+
+
+@functools.lru_cache(maxsize=64)
 def _cached_batch_step(cfg: Config, capacity: int, quantized: bool):
     """One jitted program advancing a batch of frames: a lax.scan whose carry
     holds the model-cloud window (the reference's accumulateTargetCloud state,
@@ -254,6 +312,42 @@ def _cached_batch_step(cfg: Config, capacity: int, quantized: bool):
     use_prior = cfg.laser_odometry.motion_prior
     use_undistort = cfg.laser_odometry.undistort
     qscale = Odometry.TRANSFER_QUANT_SCALE
+
+    if cfg.laser_odometry.target_mode == "map":
+        insert, rel_of, prior_of, fix_pose = _cached_map_ops(cfg)
+
+        def step_map(carry, inp):
+            map_cloud, last_filtered, world, last_rel, fidx, base_key = carry
+            raw, n_valid = inp
+            if quantized:
+                raw = raw.astype(jnp.float32) * qscale
+            key_f = jax.random.fold_in(base_key, fidx)
+            fe = run_frontend(raw, n_valid, key_f, last_filtered.xyz, None,
+                              last_filtered.valid, first_frame=False)
+            flat = fe.flat
+            if use_undistort:
+                from plo_tpu.ops.undistort import undistort_cloud
+                flat = undistort_cloud(flat, last_rel)
+            # World-frame ICP against the persistent map; init at the motion
+            # prior (world * last_rel) or the previous world pose.
+            init_pose = (world @ last_rel) if use_prior else world
+            wpose, iters, ncorr, _ = icp(flat, map_cloud,
+                                         jax.random.fold_in(key_f, 1), init_pose)
+            wpose = fix_pose(wpose)
+            new_rel = rel_of(world, wpose)
+            new_map = insert(map_cloud, fe.filtered, wpose)
+            out = jnp.concatenate(
+                [wpose.reshape(16),
+                 iters[None].astype(jnp.float32), ncorr[None].astype(jnp.float32)]
+                + [fe.stats[k][None].astype(jnp.float32) for k in sorted(fe.stats)])
+            return (new_map, fe.filtered, wpose, new_rel, fidx + 1, base_key), out
+
+        @jax.jit
+        def batch_step_map(raws, n_valids, state):
+            state, outs = jax.lax.scan(step_map, state, (raws, n_valids))
+            return state, outs
+
+        return batch_step_map
 
     def step(carry, inp):
         window, last_filtered, prior, fidx, base_key = carry
@@ -359,6 +453,23 @@ class Odometry:
         # avoids restacking/splitting the K clouds through cloud_queue on
         # every batch dispatch. cloud_queue is materialized from it lazily.
         self._device_window = None
+        # Map target mode: persistent world-frame voxel map + device-resident
+        # world pose (the trajectory itself is still integrated in f64 on
+        # host; the f32 device pose only seeds the next frame's ICP, whose
+        # error is bounded by the map anchoring, not by compounding).
+        self._map_mode = cfg.laser_odometry.target_mode == "map"
+        self._device_map: Optional[PointCloud] = None
+        self._world_dev = None
+        if self._map_mode:
+            if cfg.laser_odometry.target_mode == "map" and \
+               cfg.laser_odometry.matching_method.method == "IMLS" and \
+               cfg.laser_odometry.matching_method.imls.use_projected_distance.enabled and \
+               cfg.laser_odometry.map.search == "grid_hash":
+                raise ValueError("map.search='grid_hash' requires euclidean IMLS "
+                                 "(freeze-mode search); projected-distance mode "
+                                 "uses the dense engine")
+            (self._map_insert, self._map_rel, self._map_prior,
+             self._map_fix) = _cached_map_ops(cfg)
 
     def _next_key(self):
         # Host-constructed counter keys: a threefry key is just two uint32s,
@@ -408,31 +519,54 @@ class Odometry:
             first_frame=(self.frame_count == 0))
 
         if self.frame_count > 0:
-            target = self._accumulated_target()
+            target = (self._device_map if self._map_mode
+                      else self._accumulated_target())
             flat = fe.flat
             if self.cfg.laser_odometry.undistort and self._last_rel is not None:
                 from plo_tpu.ops.undistort import undistort_cloud
                 flat = undistort_cloud(flat, self._last_rel)
-            init = None
-            if self.cfg.laser_odometry.motion_prior and self._last_rel is not None:
-                init = self._last_rel  # constant-velocity ICP init
+            if self._map_mode:
+                # World-frame ICP against the persistent map.
+                if self.cfg.laser_odometry.motion_prior and self._last_rel is not None:
+                    init = self._map_prior(self._world_dev, self._last_rel)
+                else:
+                    init = self._world_dev
+            else:
+                init = None
+                if self.cfg.laser_odometry.motion_prior and self._last_rel is not None:
+                    init = self._last_rel  # constant-velocity ICP init
             if self._artifact_dir is not None:
                 rpose, i, nc, converged = self._icp_loop_with_artifacts(
                     flat, target, self._next_key(), init)
             else:
                 rpose, i, nc, converged = self.icp_step(flat, target, self._next_key(), init)
-            self._last_rel = rpose  # device-resident; no host sync
+            if self._map_mode:
+                rpose = self._map_fix(rpose)
+                self._last_rel = self._map_rel(self._world_dev, rpose)
+                self._world_dev = rpose  # rpose IS the world pose here
+            else:
+                self._last_rel = rpose  # device-resident; no host sync
         else:
             rpose = jnp.eye(4, dtype=jnp.float32)
             i = nc = jnp.asarray(0, jnp.int32)
+            if self._map_mode:
+                self._world_dev = rpose
 
         index = self.frame_count
-        self._pending.append(("single", index, rpose, i, nc, fe.stats))
+        kind = "world" if self._map_mode else "single"
+        self._pending.append((kind, index, rpose, i, nc, fe.stats))
 
-        # Model update (max_queue_size window of filtered clouds).
-        self.cloud_queue.append(fe.filtered)
-        while len(self.cloud_queue) > self.cfg.laser_odometry.max_queue_size:
-            self.cloud_queue.popleft()
+        # Model update: persistent voxel map, or the reference's
+        # max_queue_size window of filtered clouds.
+        if self._map_mode:
+            if self._device_map is None:
+                self._device_map = PointCloud.zeros(self.cfg.laser_odometry.map.capacity)
+            self._device_map = self._map_insert(self._device_map, fe.filtered,
+                                                self._world_dev)
+        else:
+            self.cloud_queue.append(fe.filtered)
+            while len(self.cloud_queue) > self.cfg.laser_odometry.max_queue_size:
+                self.cloud_queue.popleft()
         self.last_filtered = fe.filtered
         self.frame_count += 1
 
@@ -487,23 +621,34 @@ class Odometry:
         pending, self._pending = self._pending, []
         fetched = jax.device_get([p[2:] for p in pending])
         for (kind, first_index, *_), dev in zip(pending, fetched):
-            if kind == "batch":
+            absolute = kind in ("world", "batch_world")
+            if kind in ("batch", "batch_world"):
                 rows = np.asarray(dev[0], np.float64)  # [batch, 18+K]
                 keys = self._stats_keys
                 for j in range(rows.shape[0]):
                     row = rows[j]
                     self._append_frame(first_index + j, row[:16].reshape(4, 4),
                                        int(row[16]), int(row[17]),
-                                       dict(zip(keys, row[18:])))
+                                       dict(zip(keys, row[18:])),
+                                       absolute=absolute)
             else:
                 rel, iters, ncorr, stats = dev
                 self._append_frame(first_index, np.asarray(rel, np.float64),
                                    int(iters), int(ncorr),
-                                   {k: float(v) for k, v in stats.items()})
+                                   {k: float(v) for k, v in stats.items()},
+                                   absolute=absolute)
 
-    def _append_frame(self, index, rel, iterations, n_corr, stats):
-        rel = np.asarray(rel, np.float64)
-        pose = self.prev_pose @ rel
+    def _append_frame(self, index, mat, iterations, n_corr, stats, absolute=False):
+        """Integrate one frame into the f64 host pose chain. `mat` is the
+        frame-to-frame rPose (window mode, nowPose = prevLaserPose * rPose,
+        laser_odometry.cpp:652) or the absolute world pose (map mode)."""
+        mat = np.asarray(mat, np.float64)
+        if absolute:
+            pose = mat
+            rel = np.linalg.inv(self.prev_pose) @ pose
+        else:
+            rel = mat
+            pose = self.prev_pose @ rel
         self.prev_pose = pose
         self.trajectory.append(OdometryFrame(
             index=index, pose=pose, rel_pose=rel,
@@ -527,6 +672,8 @@ class Odometry:
             jax.block_until_ready(self._pending[-1][2])
         elif self._device_window is not None:
             jax.block_until_ready(self._device_window.xyz)
+        elif self._device_map is not None:
+            jax.block_until_ready(self._device_map.xyz)
 
     # ------------------------------------------------------------------
     # Batched on-device frame loop (program cached in _cached_batch_step)
@@ -588,19 +735,28 @@ class Odometry:
                     n = min(len(raw), cap)
                     raws[j, :n, : raw.shape[1]] = raw[:n, :4]
                     nvs[j] = n
-            window = self._window_state()
             frame0 = jnp.asarray(self.frame_count, jnp.int32)
-            prior = self._last_rel if self._last_rel is not None else jnp.eye(4, dtype=jnp.float32)
-            new_window, new_last, new_prior, outs = batch_step(
-                jnp.asarray(raws), jnp.asarray(nvs), window,
-                self.last_filtered, prior, frame0, self.key)
-            self._last_rel = new_prior
-            # outs: [batch, 18+K] packed rows; defer the (single-leaf) fetch.
-            self._pending.append(("batch", self.frame_count, outs))
-            # Keep the window device-resident; cloud_queue is materialized
-            # lazily (_sync_queue) only if a single-frame path needs it.
-            self._device_window = new_window
-            self.cloud_queue.clear()
+            eye = jnp.eye(4, dtype=jnp.float32)
+            prior = self._last_rel if self._last_rel is not None else eye
+            if self._map_mode:
+                state = (self._device_map, self.last_filtered,
+                         self._world_dev if self._world_dev is not None else eye,
+                         prior, frame0, self.key)
+                (self._device_map, new_last, self._world_dev, self._last_rel,
+                 _, _), outs = batch_step(jnp.asarray(raws), jnp.asarray(nvs), state)
+                self._pending.append(("batch_world", self.frame_count, outs))
+            else:
+                window = self._window_state()
+                new_window, new_last, new_prior, outs = batch_step(
+                    jnp.asarray(raws), jnp.asarray(nvs), window,
+                    self.last_filtered, prior, frame0, self.key)
+                self._last_rel = new_prior
+                # outs: [batch, 18+K] packed rows; defer the (single-leaf) fetch.
+                self._pending.append(("batch", self.frame_count, outs))
+                # Keep the window device-resident; cloud_queue is materialized
+                # lazily (_sync_queue) only if a single-frame path needs it.
+                self._device_window = new_window
+                self.cloud_queue.clear()
             self.last_filtered = new_last
             self.frame_count += batch
             i += batch

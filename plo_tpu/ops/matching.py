@@ -254,6 +254,26 @@ def imls_search(source: PointCloud, target: PointCloud, cfg: IMLSConfig,
                              cfg.r, cfg.search_number, knn_select)
 
 
+def imls_search_grid(source: PointCloud, target: PointCloud, cfg: IMLSConfig,
+                     grid_cell: float, grid_m: int, grid_buckets: int):
+    """Freeze-mode candidate search via the grid-hash engine (ops/grid_hash.py)
+    — the sub-linear path for voxel-map targets: O(27 m) gathered candidates
+    per query instead of an O(T) scan.
+
+    Contract: exact for neighbors within min(r, grid_cell) when per-cell
+    occupancy <= grid_m (guaranteed by construction on a voxel-downsampled map
+    with grid_cell/voxel_size <= cbrt(grid_m)); neighbors between grid_cell
+    and r can be missed — on a 0.3 m voxel map the 20 nearest live well inside
+    a 1.5 m cell, and tests assert equality with the dense engine."""
+    from plo_tpu.ops import grid_hash
+
+    assert not cfg.use_projected_distance.enabled, "freeze mode is euclidean-only"
+    cell = min(cfg.r, grid_cell)
+    gh = grid_hash.build(target.xyz, target.valid, cell, grid_buckets)
+    d2, idx, ok = grid_hash.knn(gh, source.xyz, cfg.search_number, cfg.r, m=grid_m)
+    return idx, ok
+
+
 @partial(jax.jit, static_argnames=("k", "angle_enabled"))
 def _imls_eval_cached(src_xyz, src_normal, src_valid, tgt_xyz, tgt_normal,
                       tgt_normal_ok, nidx, nfound, h: float, r: float,

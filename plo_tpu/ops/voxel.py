@@ -63,3 +63,51 @@ def voxel_downsample(cloud: PointCloud, leaf_size, out_size: int,
         eigvals=jnp.zeros((out_size, 3), jnp.float32),
         valid=out_valid,
     )
+
+
+@partial(jax.jit, static_argnames=("n_buckets",))
+def voxel_map_insert(map_cloud: PointCloud, new_cloud: PointCloud, leaf_size,
+                     center, n_buckets: int = 1 << 19) -> PointCloud:
+    """Insert a (world-frame) cloud into a persistent fixed-capacity voxel map.
+
+    The map-target extension of accumulateTargetCloud
+    (laser_odometry.cpp:116-136): instead of a rolling window of whole frames,
+    the model is one point per occupied voxel, stable across frames:
+
+      * existing map points are never moved (stable anchors for ICP);
+      * a new point enters only if its voxel is unoccupied, first-arrival
+        wins within the frame (one scatter-min);
+      * when the union exceeds the map capacity, points farthest from
+        `center` (the current sensor position) are evicted first.
+
+    Output capacity = map_cloud's capacity. Hash collisions merge voxels
+    (vanishingly rare at n_buckets >> occupied voxels; effect = a dropped
+    insertion, never a bad point)."""
+    cap = map_cloud.capacity
+    p = new_cloud.capacity
+
+    def bucket(xyz, valid):
+        cell = jnp.floor(xyz / leaf_size).astype(jnp.int32)
+        h = (cell[:, 0] * _P1) ^ (cell[:, 1] * _P2) ^ (cell[:, 2] * _P3)
+        return jnp.where(valid, jnp.abs(h) % n_buckets, n_buckets)
+
+    mb = bucket(map_cloud.xyz, map_cloud.valid)
+    occupied = jnp.zeros((n_buckets + 1,), bool).at[mb].set(map_cloud.valid)
+    occupied = occupied.at[n_buckets].set(False)
+
+    nb = bucket(new_cloud.xyz, new_cloud.valid)
+    # First new point per voxel (scatter-min of the point index).
+    idx = jnp.arange(p, dtype=jnp.int32)
+    first = jnp.full((n_buckets + 1,), p, jnp.int32).at[nb].min(
+        jnp.where(new_cloud.valid, idx, p))
+    keep_new = new_cloud.valid & (first[nb] == idx) & ~occupied[nb]
+
+    merged = map_cloud.concat(
+        dataclasses.replace(new_cloud, valid=keep_new))
+    # Evict farthest-from-center beyond capacity (stable: ties keep the
+    # older map points, which sit first in the concat).
+    d2 = jnp.sum((merged.xyz - center[None, :]) ** 2, axis=-1)
+    d2 = jnp.where(merged.valid, d2, jnp.inf)
+    order = jnp.argsort(d2, stable=True)[:cap]
+    out = jax.tree_util.tree_map(lambda a: a[order], merged)
+    return dataclasses.replace(out, valid=out.valid & jnp.isfinite(d2[order]))

@@ -38,6 +38,12 @@ def save(odo: "Odometry", path: str):
     if odo.last_filtered is not None:
         for field in ("xyz", "normal", "intensity", "curvature", "eigvals", "valid"):
             state[f"last_{field}"] = np.asarray(getattr(odo.last_filtered, field))
+    if odo._map_mode and odo._device_map is not None:
+        for field in ("xyz", "normal", "intensity", "curvature", "eigvals", "valid"):
+            state[f"map_{field}"] = np.asarray(getattr(odo._device_map, field))
+        state["world_pose"] = np.asarray(odo._world_dev)
+        if odo._last_rel is not None:
+            state["last_rel"] = np.asarray(odo._last_rel)
     np.savez_compressed(path, **state)
 
 
@@ -65,4 +71,9 @@ def load(odo: "Odometry", path: str):
         odo.cloud_queue.append(cloud_from(f"q{qi}"))
     if "last_xyz" in data:
         odo.last_filtered = cloud_from("last")
+    if "map_xyz" in data:
+        odo._device_map = cloud_from("map")
+        odo._world_dev = jnp.asarray(data["world_pose"])
+        if "last_rel" in data:
+            odo._last_rel = jnp.asarray(data["last_rel"])
     return odo
