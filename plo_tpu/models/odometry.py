@@ -121,6 +121,16 @@ def _build_match_solve(cfg: Config):
                 target.xyz, target.valid,
                 imls_cfg.get_normals.r_normal,
                 imls_cfg.get_normals.search_number_normal)
+        if map_mode:
+            # Zero-normal map points (plane-fail survivors kept by
+            # use_all_points) are "no-normal" rejects (the reference's
+            # delete-reason, imls_icp.cpp:655-668) — without this they enter
+            # the IMLS weights with a zero projection and bias heights toward
+            # zero. Also keeps the single-device path bit-compatible with the
+            # sharded knn_gather candidates (parallel/map_store.py).
+            normal_ok = target.valid & (
+                jnp.sum(target.normal * target.normal, axis=-1) > 1e-12)
+            return target.normal, normal_ok
         return target.normal, target.valid
 
     return match, solve, prepare_target, freeze_correspondences, imls_cfg

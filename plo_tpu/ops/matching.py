@@ -274,25 +274,20 @@ def imls_search_grid(source: PointCloud, target: PointCloud, cfg: IMLSConfig,
     return idx, ok
 
 
-@partial(jax.jit, static_argnames=("k", "angle_enabled"))
-def _imls_eval_cached(src_xyz, src_normal, src_valid, tgt_xyz, tgt_normal,
-                      tgt_normal_ok, nidx, nfound, h: float, r: float,
-                      angle_threshold: float, k: int,
-                      angle_enabled: bool) -> MatchResult:
-    """IMLS projection restricted to a cached candidate set: distances, the
-    anchor (argmin within the set), the radius/h gates, the adaptive
-    bandwidth, and the height are all recomputed from the CURRENT source
-    positions/normals; only the candidate identities are frozen. At the
-    search pose this reproduces `_imls_impl` (euclidean mode) exactly; after
-    sub-cm pose updates it differs only by points entering/leaving the
-    radius, which the re-applied gates handle conservatively."""
-    cap = tgt_xyz.shape[0]
-    nidx_c = jnp.clip(nidx, 0, cap - 1)
-    npts = tgt_xyz[nidx_c]                           # [S, k, 3]
-    nnrm = tgt_normal[nidx_c]                        # [S, k, 3]
+def _imls_eval_gathered(src_xyz, src_normal, src_valid, npts, nnrm,
+                        neighbor_normal_ok, cand_present, h: float, r: float,
+                        angle_threshold: float, k: int,
+                        angle_enabled: bool) -> MatchResult:
+    """IMLS projection over already-gathered candidate arrays ([S, k, 3]
+    points/normals + masks): distances, the anchor (argmin within the set),
+    the radius/h gates, the adaptive bandwidth, and the height are all
+    recomputed from the CURRENT source positions/normals; only the candidate
+    identities are frozen. This is the core shared by the index-cached
+    single-device path and the sharded-map path (where the distributed search
+    returns the candidates themselves and the global map is never gathered)."""
     diff = src_xyz[:, None, :] - npts
     d2_euclid = jnp.sum(diff * diff, axis=-1)
-    present = nfound & (d2_euclid <= r * r)          # radius re-gate
+    present = cand_present & (d2_euclid <= r * r)    # radius re-gate
     d2_masked = jnp.where(present, d2_euclid, jnp.inf)
 
     # Anchor = nearest present candidate (k=1 NN within r, imls_icp.cpp:597-610).
@@ -300,17 +295,17 @@ def _imls_eval_cached(src_xyz, src_normal, src_valid, tgt_xyz, tgt_normal,
     min_dist = jnp.take_along_axis(d2_masked, j_star[:, None], axis=1)[:, 0]
     found = jnp.any(present, axis=1)
     min_dist = jnp.where(found, min_dist, 0.0)
-    aidx_c = jnp.take_along_axis(nidx_c, j_star[:, None], axis=1)[:, 0]
     anchor_near = min_dist <= h * h                  # :620-625
-    n_anchor = tgt_normal[aidx_c]
-    anchor_normal_ok = neighbors.gather_mask(tgt_normal_ok, aidx_c) & jnp.all(
+    n_anchor = jnp.take_along_axis(nnrm, j_star[:, None, None], axis=1)[:, 0]
+    anchor_normal_ok = jnp.take_along_axis(
+        neighbor_normal_ok, j_star[:, None], axis=1)[:, 0] & jnp.all(
         jnp.isfinite(n_anchor), axis=-1)
     if angle_enabled:
         anchor_angle_ok = _angle_deg(src_normal, n_anchor) <= angle_threshold
     else:
         anchor_angle_ok = jnp.ones_like(found)
 
-    n_ok = present & neighbors.gather_mask(tgt_normal_ok, nidx_c)
+    n_ok = present & neighbor_normal_ok
     if angle_enabled:
         nang = _angle_deg(jnp.broadcast_to(src_normal[:, None, :], nnrm.shape), nnrm)
         n_ok = n_ok & (nang <= angle_threshold)
@@ -348,6 +343,41 @@ def _imls_eval_cached(src_xyz, src_normal, src_valid, tgt_xyz, tgt_normal,
         valid=alive,
         counters=counters,
     )
+
+
+@partial(jax.jit, static_argnames=("k", "angle_enabled"))
+def _imls_eval_cached(src_xyz, src_normal, src_valid, tgt_xyz, tgt_normal,
+                      tgt_normal_ok, nidx, nfound, h: float, r: float,
+                      angle_threshold: float, k: int,
+                      angle_enabled: bool) -> MatchResult:
+    """Index-cached variant of `_imls_eval_gathered`: gathers the candidate
+    rows from the target cloud, then evaluates. At the search pose this
+    reproduces `_imls_impl` (euclidean mode) exactly; after sub-cm pose
+    updates it differs only by points entering/leaving the radius, which the
+    re-applied gates handle conservatively."""
+    cap = tgt_xyz.shape[0]
+    nidx_c = jnp.clip(nidx, 0, cap - 1)
+    npts = tgt_xyz[nidx_c]                           # [S, k, 3]
+    nnrm = tgt_normal[nidx_c]                        # [S, k, 3]
+    n_ok = neighbors.gather_mask(tgt_normal_ok, nidx_c)
+    return _imls_eval_gathered(src_xyz, src_normal, src_valid, npts, nnrm,
+                               n_ok, nfound, h, r, angle_threshold, k,
+                               angle_enabled)
+
+
+def imls_project_candidates(source: PointCloud, cand_xyz, cand_normal,
+                            cand_normal_ok, cand_present,
+                            cfg: IMLSConfig) -> MatchResult:
+    """ProjSourcePtToSurface evaluated against gathered candidate arrays
+    ([S, k, 3] + masks) — the sharded-map path: the distributed search returns
+    the candidates themselves, so this evaluation never touches the global
+    map (see parallel/map_store.py::ShardedMapStore.knn_gather)."""
+    assert not cfg.use_projected_distance.enabled, "candidates mode is euclidean-only"
+    return _imls_eval_gathered(
+        source.xyz, source.normal, source.valid,
+        cand_xyz, cand_normal, cand_normal_ok, cand_present,
+        cfg.h, cfg.r, cfg.normal_angle_constraint.angle_diff_threshold,
+        cfg.search_number, cfg.normal_angle_constraint.enabled)
 
 
 def imls_project_cached(source: PointCloud, target: PointCloud, cfg: IMLSConfig,

@@ -19,8 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from plo_tpu.cloud import PointCloud
-
-_P1, _P2, _P3 = 73856093, 19349663, 83492791
+from plo_tpu.ops.grid_hash import hash_bucket
 
 
 @partial(jax.jit, static_argnames=("out_size", "n_buckets"))
@@ -33,8 +32,7 @@ def voxel_downsample(cloud: PointCloud, leaf_size, out_size: int,
     decimation op). Voxels beyond `out_size` (by bucket order) are dropped.
     """
     cell = jnp.floor(cloud.xyz / leaf_size).astype(jnp.int32)
-    h = (cell[:, 0] * _P1) ^ (cell[:, 1] * _P2) ^ (cell[:, 2] * _P3)
-    bucket = jnp.where(cloud.valid, jnp.abs(h) % n_buckets, n_buckets)
+    bucket = jnp.where(cloud.valid, hash_bucket(cell, n_buckets), n_buckets)
 
     ones = cloud.valid.astype(jnp.float32)
     cnt = jnp.zeros((n_buckets + 1,), jnp.float32).at[bucket].add(ones)
@@ -88,8 +86,7 @@ def voxel_map_insert(map_cloud: PointCloud, new_cloud: PointCloud, leaf_size,
 
     def bucket(xyz, valid):
         cell = jnp.floor(xyz / leaf_size).astype(jnp.int32)
-        h = (cell[:, 0] * _P1) ^ (cell[:, 1] * _P2) ^ (cell[:, 2] * _P3)
-        return jnp.where(valid, jnp.abs(h) % n_buckets, n_buckets)
+        return jnp.where(valid, hash_bucket(cell, n_buckets), n_buckets)
 
     mb = bucket(map_cloud.xyz, map_cloud.valid)
     occupied = jnp.zeros((n_buckets + 1,), bool).at[mb].set(map_cloud.valid)

@@ -29,21 +29,37 @@ from plo_tpu.cloud import PointCloud
 from plo_tpu.ops import neighbors
 
 
-def voxel_shard_id(xyz: jnp.ndarray, n_shards: int, voxel: float = 4.0) -> jnp.ndarray:
-    """Spatial-hash shard assignment: points of one voxel co-locate."""
-    v = jnp.floor(xyz / voxel).astype(jnp.int32)
-    h = (v[..., 0] * 73856093) ^ (v[..., 1] * 19349663) ^ (v[..., 2] * 83492791)
-    return jnp.abs(h) % n_shards
+def voxel_shard_id(xyz: jnp.ndarray, n_shards: int, voxel: float = 4.0,
+                   base_cell: float = None, block_factor: int = None) -> jnp.ndarray:
+    """Spatial-hash shard assignment: points of one block co-locate.
+
+    With `base_cell`/`block_factor`, the block index is derived from the
+    INTEGER voxel cell (floor(xyz/base_cell) // block_factor) so block
+    boundaries align EXACTLY with the voxel grid — floor(xyz/(B*cell)) in
+    float splits boundary voxels across shards (measured 175 of 2086 voxels
+    duplicated on one HDL-32 frame), which would break the per-shard ==
+    global voxel-dedupe equivalence."""
+    from plo_tpu.ops.grid_hash import hash_bucket
+
+    if base_cell is not None:
+        v = jnp.floor_divide(jnp.floor(xyz / base_cell).astype(jnp.int32),
+                             block_factor)
+    else:
+        v = jnp.floor(xyz / voxel).astype(jnp.int32)
+    return hash_bucket(v, n_shards)
 
 
-@partial(jax.jit, static_argnames=("n_shards", "per_shard"))
+@partial(jax.jit, static_argnames=("n_shards", "per_shard", "block_factor"))
 def partition_cloud(cloud: PointCloud, n_shards: int, per_shard: int,
-                    voxel: float = 4.0):
+                    voxel: float = 4.0, base_cell: float = None,
+                    block_factor: int = None):
     """Repartition a padded cloud into [D, M] shard-major layout.
 
     Returns a PointCloud whose leading dim is D*M, ordered shard-major, plus
     the per-shard counts [D]. Overflowing points are dropped."""
-    shard = jnp.where(cloud.valid, voxel_shard_id(cloud.xyz, n_shards, voxel), n_shards)
+    shard = jnp.where(cloud.valid,
+                      voxel_shard_id(cloud.xyz, n_shards, voxel, base_cell,
+                                     block_factor), n_shards)
     order = jnp.argsort(shard, stable=True)
     counts = jnp.bincount(shard, length=n_shards + 1)[:n_shards]
     starts = jnp.concatenate([jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]])
@@ -92,10 +108,13 @@ class ShardedMapStore:
         return counts
 
     @partial(jax.jit, static_argnames=("self", "k"))
-    def _query(self, query_xyz: jnp.ndarray, k: int):
+    def _query(self, query_xyz: jnp.ndarray, cloud_xyz, cloud_valid, k: int):
+        # NOTE: the cloud arrays are explicit arguments — `self` is a static
+        # jit arg, so anything read off it at trace time (self.cloud) would be
+        # baked into the compiled program as a CONSTANT and every later query
+        # would silently search the map as of the first trace.
         from jax import shard_map
 
-        cloud = self.cloud
         d, m = self.n_shards, self.per_shard
 
         def local(q, xyz_s, valid_s):
@@ -121,13 +140,67 @@ class ShardedMapStore:
             # shard axis; skip the varying-manual-axes check.
             check_vma=False,
         )
-        return fn(query_xyz, cloud.xyz, cloud.valid)
+        return fn(query_xyz, cloud_xyz, cloud_valid)
 
     def knn(self, query_xyz, k: int, radius: float = np.inf):
         """Global-exact k-NN against the sharded model.
         Returns (d2 [Q, k], global idx [Q, k] into the shard-major cloud,
         valid [Q, k])."""
         q = jax.device_put(query_xyz, self._repl)
-        d2, gidx = self._query(q, k)
+        d2, gidx = self._query(q, self.cloud.xyz, self.cloud.valid, k)
         valid = (gidx >= 0) & (d2 <= radius**2) & jnp.isfinite(d2)
         return d2, gidx, valid
+
+    @partial(jax.jit, static_argnames=("self", "k"))
+    def _query_gather(self, query_xyz: jnp.ndarray, cloud_xyz, cloud_nrm,
+                      cloud_valid, k: int):
+        # Cloud arrays are explicit args — see the _query trace-constant note.
+        from jax import shard_map
+
+        m = self.per_shard
+
+        def local(q, xyz_s, nrm_s, valid_s):
+            # Each device: exact kNN against its own shard, then gather the
+            # winning rows LOCALLY so the merge ships candidates, not the map.
+            d2, idx, ok = neighbors.knn(q, xyz_s, valid_s, k=k,
+                                        chunk=min(8192, m))
+            idx_c = jnp.clip(idx, 0, m - 1)
+            normal_ok = valid_s & (jnp.sum(nrm_s * nrm_s, axis=-1) > 1e-12)
+            packed = jnp.concatenate(
+                [xyz_s, nrm_s, normal_ok.astype(jnp.float32)[:, None]], axis=1)
+            rows = packed[idx_c]                               # [Q, k, 7]
+            d2 = jnp.where(ok, d2, jnp.inf)
+            # Merge across devices: one all_gather of the candidate rows
+            # ([D, Q, k, 7] — the only cross-device traffic), then re-top-k.
+            all_d2 = jax.lax.all_gather(d2, self.axis_name)    # [D, Q, k]
+            all_rows = jax.lax.all_gather(rows, self.axis_name)
+            qn = q.shape[0]
+            cat_d2 = jnp.moveaxis(all_d2, 0, 1).reshape(qn, -1)
+            cat_rows = jnp.moveaxis(all_rows, 0, 1).reshape(qn, cat_d2.shape[1], 7)
+            neg, pos = jax.lax.top_k(-cat_d2, k)
+            best = jnp.take_along_axis(cat_rows, pos[..., None], axis=1)
+            return -neg, best
+
+        fn = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(), P(self.axis_name), P(self.axis_name), P(self.axis_name)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(query_xyz, cloud_xyz, cloud_nrm, cloud_valid)
+
+    def knn_gather(self, query_xyz, k: int, radius: float = np.inf):
+        """Distributed k-NN that returns the candidates THEMSELVES — the
+        sharded correspondence search (SURVEY.md §2.3): each device searches
+        its map shard, gathers its winners' xyz/normal locally, and a single
+        all_gather of [D, Q, k, 7] candidate rows replaces any halo exchange
+        of map blocks. Returns (d2 [Q,k], xyz [Q,k,3], normal [Q,k,3],
+        normal_ok [Q,k], valid [Q,k]) — exactly what
+        matching.imls_project_candidates consumes; the global map is never
+        materialized on one device."""
+        q = jax.device_put(query_xyz, self._repl)
+        d2, rows = self._query_gather(q, self.cloud.xyz, self.cloud.normal,
+                                      self.cloud.valid, k)
+        valid = jnp.isfinite(d2) & (d2 <= radius**2)
+        return (d2, rows[..., 0:3], rows[..., 3:6],
+                rows[..., 6] > 0.5, valid)

@@ -1,0 +1,204 @@
+"""Multi-device frame-to-map odometry: the map sharded over the mesh.
+
+The scale-out composition of SURVEY.md §2.3 on top of the single-device map
+mode (models/odometry.py, target_mode="map"):
+
+  * the voxel map lives shard-major [D, M/D] over the mesh's 'points' axis —
+    per-device memory scales 1/D;
+  * point-to-shard assignment is a spatial block hash whose block edge is an
+    integer multiple of the map voxel, so all points of one voxel co-locate
+    and PER-SHARD voxel_map_insert (via shard_map) IS the global insertion
+    semantics (first-arrival-per-voxel dedupe + occupancy stay exact);
+  * correspondence search is the distributed knn_gather
+    (parallel/map_store.py): each device searches its shard, one all_gather
+    of [D, Q, k, 7] candidate rows merges the results — no device ever holds
+    the whole map;
+  * the ICP while_loop evaluates the frozen candidates per iteration
+    (matching.imls_project_candidates) and solves replicated — identical math
+    to the single-device freeze path, so trajectories match to float
+    tolerance (tests/test_parallel.py asserts it).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from plo_tpu import geometry as geo
+from plo_tpu.cloud import PointCloud
+from plo_tpu.config import Config
+from plo_tpu.models.odometry import (OdometryFrame, _build_match_solve,
+                                     _cached_frontend)
+from plo_tpu.ops import matching
+from plo_tpu.parallel.map_store import ShardedMapStore, partition_cloud
+
+
+def _make_candidate_icp(cfg: Config):
+    """The map-mode ICP while_loop over pre-gathered candidates ([Q, k]
+    arrays): same body as models/odometry._make_icp_step's freeze path, with
+    the candidate identities coming from the distributed search."""
+    lo = cfg.laser_odometry
+    sv = lo.solve_method
+    imls_cfg = lo.matching_method.imls
+    correspond_number = lo.matching_method.correspond_number
+    iterations = sv.iterations
+    _, solve, _, _, _ = _build_match_solve(cfg)
+
+    @jax.jit
+    def icp(flat: PointCloud, cxyz, cnrm, cok, cpresent, key, init_pose):
+        def cond(state):
+            i, rpose, done, _, _ = state
+            return (i < iterations) & ~done
+
+        def body(state):
+            i, rpose, _, _, _ = state
+            src_xyz = geo.transform_points(rpose, flat.xyz)
+            src_normal = geo.rotate_vectors(rpose, flat.normal)  # world frame
+            src = dataclasses.replace(flat, xyz=src_xyz, normal=src_normal)
+            res = matching.imls_project_candidates(
+                src, cxyz, cnrm, cok, cpresent, imls_cfg)
+            n_corr = jnp.sum(res.valid.astype(jnp.int32))
+            enough = n_corr >= correspond_number
+            delta, ok = solve(src_xyz, res.y, res.normal, res.valid,
+                              jax.random.fold_in(key, i))
+            delta = jnp.where(enough & ok, delta, jnp.eye(4, dtype=delta.dtype))
+            new_rpose = delta @ rpose
+            ddist = jnp.linalg.norm(delta[:3, 3])
+            dangle = geo.rotation_angle(delta[:3, :3])
+            converged = (ddist < sv.delta_dist_threshold) & (dangle < sv.delta_angle_threshold)
+            done = ~(enough & ok) | converged
+            return (i + 1, new_rpose, done, n_corr, converged)
+
+        init = (jnp.asarray(0, jnp.int32), init_pose,
+                jnp.asarray(False), jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        i, rpose, done, n_corr, converged = jax.lax.while_loop(cond, body, init)
+        rpose = geo.make_se3(geo.orthonormalize(rpose[:3, :3]), rpose[:3, 3])
+        return rpose, i, n_corr, converged
+
+    return icp
+
+
+class ShardedMapOdometry:
+    """Frame-to-map odometry with the map sharded over a device mesh.
+
+    Scope: the headline euclidean-IMLS configuration (frozen candidate set
+    per frame — the production fast path); the front-end runs replicated.
+    """
+
+    def __init__(self, cfg: Config, mesh: Mesh, capacity: int = 131072,
+                 seed: int = 0, axis_name: str = "points"):
+        lo = cfg.laser_odometry
+        assert lo.target_mode == "map", "ShardedMapOdometry requires target_mode='map'"
+        assert lo.matching_method.method == "IMLS", "sharded map path is IMLS-only"
+        assert not lo.matching_method.imls.use_projected_distance.enabled
+        self.cfg = cfg
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.n_shards = int(mesh.devices.size)
+        self.frontend = _cached_frontend(cfg, capacity)
+        self.seed = seed
+        self._key_counter = 0
+
+        mp = lo.map
+        per_shard = mp.capacity // self.n_shards
+        # Blocks of block_factor^3 voxels, indexed from the INTEGER voxel
+        # cell: a voxel is never split across shards, so per-shard dedupe is
+        # globally exact (see voxel_shard_id).
+        self._base_cell = mp.voxel_size
+        self._block_factor = max(1, round(4.0 / mp.voxel_size))
+        self.store = ShardedMapStore(mesh, per_shard, axis_name=axis_name)
+        self._shard_spec = NamedSharding(mesh, P(axis_name))
+        self.store.cloud = jax.device_put(
+            PointCloud.zeros(self.n_shards * per_shard), self._shard_spec)
+
+        from jax import shard_map
+
+        def insert_local(map_s: PointCloud, new_s: PointCloud, center):
+            from plo_tpu.ops.voxel import voxel_map_insert
+            return voxel_map_insert(map_s, new_s, mp.voxel_size, center,
+                                    n_buckets=mp.n_buckets)
+
+        self._insert = jax.jit(shard_map(
+            insert_local, mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name), P()),
+            out_specs=P(axis_name), check_vma=False))
+
+        @jax.jit
+        def to_world(filtered: PointCloud, wpose):
+            return dataclasses.replace(
+                filtered,
+                xyz=geo.transform_points(wpose, filtered.xyz),
+                normal=geo.rotate_vectors(wpose, filtered.normal))
+
+        self._to_world = to_world
+        self._icp = _make_candidate_icp(cfg)
+        self._world_dev = jnp.eye(4, dtype=jnp.float32)
+        self._last_rel: Optional[jnp.ndarray] = None
+        self.last_filtered: Optional[PointCloud] = None
+        self.prev_pose = np.eye(4)
+        self.frame_count = 0
+        self.trajectory: List[OdometryFrame] = []
+
+    def _next_key(self):
+        self._key_counter += 1
+        return jnp.asarray([np.uint32(self.seed), np.uint32(self._key_counter)])
+
+    def process_scan(self, raw_pts: np.ndarray) -> OdometryFrame:
+        lo = self.cfg.laser_odometry
+        imls_cfg = lo.matching_method.imls
+        fe = self.frontend.process(raw_pts, self._next_key(), self.last_filtered,
+                                   first_frame=(self.frame_count == 0))
+        if self.frame_count > 0:
+            if lo.motion_prior and self._last_rel is not None:
+                init = self._world_dev @ self._last_rel
+            else:
+                init = self._world_dev
+            # Distributed candidate search at the init pose (freeze mode).
+            src0 = geo.transform_points(init, fe.flat.xyz)
+            _, cxyz, cnrm, cok, cvalid = self.store.knn_gather(
+                src0, imls_cfg.search_number, radius=imls_cfg.r)
+            wpose, iters, ncorr, _ = self._icp(
+                fe.flat, cxyz, cnrm, cok, cvalid, self._next_key(), init)
+            rel = geo.se3_inverse(self._world_dev) @ wpose
+            self._last_rel = geo.make_se3(geo.orthonormalize(rel[:3, :3]), rel[:3, 3])
+            self._world_dev = wpose
+        else:
+            wpose = jnp.eye(4, dtype=jnp.float32)
+            iters = ncorr = jnp.asarray(0, jnp.int32)
+            self._world_dev = wpose
+
+        # Map insertion: world-frame filtered cloud repartitioned by spatial
+        # block, then per-shard voxel insertion (globally exact, see module
+        # docstring).
+        world_cloud = self._to_world(fe.filtered, wpose)
+        part, _ = partition_cloud(world_cloud, self.n_shards,
+                                  self.frontend.filtered_capacity,
+                                  base_cell=self._base_cell,
+                                  block_factor=self._block_factor)
+        part = jax.device_put(part, self._shard_spec)
+        self.store.cloud = self._insert(self.store.cloud, part, wpose[:3, 3])
+
+        pose = np.asarray(wpose, np.float64)
+        rel = np.linalg.inv(self.prev_pose) @ pose
+        self.prev_pose = pose
+        frame = OdometryFrame(
+            index=self.frame_count, pose=pose, rel_pose=rel,
+            iterations=int(iters), n_correspondences=int(ncorr),
+            stats={k: float(v) for k, v in fe.stats.items()})
+        self.trajectory.append(frame)
+        self.last_filtered = fe.filtered
+        self.frame_count += 1
+        return frame
+
+    def poses(self) -> np.ndarray:
+        return np.stack([f.pose for f in self.trajectory])
+
+    def map_points_per_device(self) -> int:
+        """Max per-device map occupancy (the memory-scaling observable)."""
+        v = np.asarray(self.store.cloud.valid)
+        m = self.store.per_shard
+        return int(max(v[d * m:(d + 1) * m].sum() for d in range(self.n_shards)))

