@@ -259,6 +259,25 @@ class MapConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class BAConfig:
+    """Extension: sliding-window bundle adjustment over the pose chain
+    (parallel/ba.py). Each frame records point-to-plane correspondences to
+    the previous frame (the ICP's own matched set) AND to the skip frame
+    (k-2 -> k, the term that makes the joint window informative — a chain of
+    consecutive pairs alone reproduces the per-frame ICP optima); the last
+    `window` poses are then jointly refined by Gauss-Newton."""
+    enabled: bool = False
+    window: int = 4
+    iterations: int = 4
+    max_correspondences: int = 512
+    damping: float = 1e-6
+    # Huber IRLS scale (m) on the point-to-plane residuals: the frozen
+    # correspondence assignments include wrong-surface outliers that
+    # unweighted GN absorbs wholesale.
+    huber_delta: float = 0.05
+
+
+@dataclasses.dataclass(frozen=True)
 class LaserOdometryConfig:  # config.json:83-171
     max_queue_size: int = 1
     # Extension: target model selection. "window" = the reference's rolling
@@ -288,6 +307,7 @@ class LaserOdometryConfig:  # config.json:83-171
     # when a motion prior puts iteration 0 within centimeters of the optimum.
     # Euclidean-anchor IMLS only; other modes ignore the flag.
     refresh_correspondences: bool = True
+    ba: BAConfig = BAConfig()
     matching_method: MatchingConfig = MatchingConfig()
     solve_method: SolveConfig = SolveConfig()
 
@@ -429,6 +449,12 @@ def from_dict(tree: Dict[str, Any], sensor: Optional[SensorConfig] = None) -> Co
             motion_prior=bool(_get(lo, "motion_prior", False)),
             undistort=bool(_get(lo, "undistort", False)),
             refresh_correspondences=bool(_get(lo, "refresh_correspondences", True)),
+            ba=BAConfig(
+                enabled=bool(_get(lo.get("ba", {}), "enabled", False)),
+                window=int(_get(lo.get("ba", {}), "window", 4)),
+                iterations=int(_get(lo.get("ba", {}), "iterations", 4)),
+                max_correspondences=int(_get(lo.get("ba", {}), "max_correspondences", 512)),
+            ),
             matching_method=MatchingConfig(
                 method=str(_get(mm, "method", "IMLS")),
                 correspond_number=int(_get(mm, "correspond_number", 6)),

@@ -251,6 +251,34 @@ def _make_icp_iteration(cfg: Config):
     return prepare, iteration
 
 
+def _make_record_corr(cfg: Config):
+    """Correspondence recorder for windowed BA: match the (sensor-frame)
+    sampled cloud of the newer frame, transformed by `rel_pose`, against an
+    older frame's model cloud, and compact up to max_correspondences matched
+    pairs. Returns (s [N,3] sensor-frame source, y [N,3], n [N,3] older-frame
+    target plane, valid [N])."""
+    lo = cfg.laser_odometry
+    match, _, prepare_target, _, _ = _build_match_solve(cfg)
+    n_out = lo.ba.max_correspondences
+    transform_normal = lo.transform_normal or lo.target_mode == "map"
+
+    @jax.jit
+    def record(flat: PointCloud, target: PointCloud, rel_pose):
+        tgt_normal, tgt_normal_ok = prepare_target(target)
+        src_xyz = geo.transform_points(rel_pose, flat.xyz)
+        if transform_normal:
+            src_normal = geo.rotate_vectors(rel_pose, flat.normal)
+        else:
+            src_normal = flat.normal
+        src = dataclasses.replace(flat, xyz=src_xyz, normal=src_normal)
+        res = match(src, target, tgt_normal, tgt_normal_ok)
+        order = jnp.argsort(~res.valid, stable=True)[:n_out]
+        valid = res.valid[order]
+        return flat.xyz[order], res.y[order], res.normal[order], valid
+
+    return record
+
+
 # Config-keyed caches: FrontEnd and the jitted ICP step are stateless (frozen
 # config + compiled programs), so Odometry instances with the same config
 # share them — repeat constructions (tests, CLI reruns, checkpoint resume)
@@ -463,6 +491,18 @@ class Odometry:
         # avoids restacking/splitting the K clouds through cloud_queue on
         # every batch dispatch. cloud_queue is materialized from it lazily.
         self._device_window = None
+        # Sliding-window BA (extension, parallel/ba.py): per-frame
+        # correspondence records to the previous AND skip (k-2) frames, then
+        # a joint Gauss-Newton refinement of the last `window` poses.
+        self._ba = cfg.laser_odometry.ba.enabled
+        if self._ba:
+            if cfg.laser_odometry.target_mode == "map":
+                raise ValueError("ba.enabled requires target_mode='window' "
+                                 "(the map already anchors the pose chain)")
+            self._record_corr = _make_record_corr(cfg)
+            self._ba_clouds: Deque[PointCloud] = deque(
+                maxlen=cfg.laser_odometry.ba.window)
+            self._ba_corr: Dict[int, tuple] = {}
         # Map target mode: persistent world-frame voxel map + device-resident
         # world pose (the trajectory itself is still integrated in f64 on
         # host; the f32 device pose only seeds the next frame's ICP, whose
@@ -580,6 +620,9 @@ class Odometry:
         self.last_filtered = fe.filtered
         self.frame_count += 1
 
+        if self._ba:
+            self._ba_step(fe, rpose if index > 0 else None)
+
         if self.async_mode:
             # Bound the dispatch queue without a host round trip.
             if len(self._pending) >= self.sync_every:
@@ -587,6 +630,67 @@ class Odometry:
             return None
         self._drain()
         return self.trajectory[-1]
+
+    def _ba_step(self, fe: FrontEndOutput, rpose):
+        """Record this frame's BA correspondences (to the previous frame at
+        the final ICP pose, and to the skip frame k-2) and refine the sliding
+        window once it is full. Updates the f64 trajectory in place — BA is a
+        smoother; the model clouds already consumed are untouched."""
+        from plo_tpu.parallel import ba as ba_mod
+
+        cfg_ba = self.cfg.laser_odometry.ba
+        K = cfg_ba.window
+        self._drain()  # BA runs synchronously on the materialized pose chain
+        k = self.frame_count - 1  # index of the frame just processed
+
+        if rpose is not None and len(self._ba_clouds) >= 1:
+            rec_prev = self._record_corr(fe.flat, self._ba_clouds[-1], rpose)
+            rec_skip = None
+            if len(self._ba_clouds) >= 2 and k >= 2:
+                rel_skip = (np.linalg.inv(self.trajectory[k - 2].pose)
+                            @ self.trajectory[k].pose)
+                rec_skip = self._record_corr(
+                    fe.flat, self._ba_clouds[-2],
+                    jnp.asarray(rel_skip.astype(np.float32)))
+            self._ba_corr[k] = (rec_prev, rec_skip)
+        self._ba_clouds.append(fe.filtered)
+        for old in [i for i in self._ba_corr if i <= k - K]:
+            del self._ba_corr[old]
+
+        w = list(range(k - K + 1, k + 1))
+        if w[0] < 0 or any(
+                i not in self._ba_corr or (idx >= 2 and self._ba_corr[i][1] is None)
+                for idx, i in enumerate(w) if idx >= 1):
+            return
+        # Pair graph: consecutive (i,i+1) from the ICP-pose records, skips
+        # (i,i+2) — the informative terms (see parallel/ba.py::_assemble).
+        pairs = tuple((i, i + 1) for i in range(K - 1)) + \
+            tuple((i, i + 2) for i in range(K - 2))
+        recs = [self._ba_corr[w[i + 1]][0] for i in range(K - 1)] + \
+            [self._ba_corr[w[i + 2]][1] for i in range(K - 2)]
+        src = jnp.stack([r[0] for r in recs])
+        ref = jnp.stack([r[1] for r in recs])
+        nrm = jnp.stack([r[2] for r in recs])
+        val = jnp.stack([r[3] for r in recs])
+        poses = jnp.asarray(np.stack(
+            [self.trajectory[i].pose for i in w]).astype(np.float32))
+        refined = np.asarray(ba_mod.refine_window(
+            poses, src, ref, nrm, val, K, cfg_ba.iterations,
+            cfg_ba.damping, pairs, cfg_ba.huber_delta), np.float64)
+        # Write back (gauge pose w[0] unchanged), re-chaining rel poses.
+        for j, i in enumerate(w):
+            if j == 0:
+                continue
+            R = refined[j][:3, :3]
+            u, _, vt = np.linalg.svd(R)
+            R = u @ np.diag([1, 1, np.linalg.det(u @ vt)]) @ vt
+            pose = np.eye(4)
+            pose[:3, :3] = R
+            pose[:3, 3] = refined[j][:3, 3]
+            self.trajectory[i] = dataclasses.replace(
+                self.trajectory[i], pose=pose,
+                rel_pose=np.linalg.inv(self.trajectory[i - 1].pose) @ pose)
+        self.prev_pose = self.trajectory[-1].pose
 
     def _icp_loop_with_artifacts(self, flat: PointCloud, target: PointCloud,
                                  key, init_pose):
@@ -712,7 +816,9 @@ class Odometry:
         i = 0
         cap = self.frontend.capacity
         while i < len(scans):
-            if self.frame_count == 0 or len(scans) - i < batch:
+            if self.frame_count == 0 or len(scans) - i < batch or self._ba:
+                # BA needs the per-frame path (it records correspondences and
+                # refines on the host pose chain every frame).
                 self.process_scan(scans[i])
                 i += 1
                 continue

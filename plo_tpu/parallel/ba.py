@@ -50,40 +50,60 @@ def _residual_jacobian(T_rel, src, ref, normal, valid):
     return r * valid.astype(jnp.float32), Jk, Jk1
 
 
-def _assemble(poses, src, ref, normal, valid, k_window):
+def _assemble(poses, src, ref, normal, valid, k_window, pairs=None,
+              huber_delta=None):
     """Full (H, g) for the window. poses [K, 4, 4]; correspondence arrays are
-    [K-1, N, ...]. Unknowns: poses 1..K-1 (pose 0 gauge-fixed)."""
+    [P, N, ...] for P pose pairs. Unknowns: poses 1..K-1 (pose 0 gauge-fixed).
+
+    `pairs` is a static tuple of (i, j) pose-index pairs — src[p] lives in
+    frame j's coords, (ref, normal)[p] in frame i's. Defaults to the
+    consecutive chain ((0,1),(1,2),...). NOTE: a chain of consecutive pairs
+    alone reproduces the per-frame ICP optima exactly (each pair term is
+    independent); the window only adds information through SKIP pairs
+    (e.g. (k-2, k)), which the driver records for that reason."""
     dof = 6 * (k_window - 1)
     H = jnp.zeros((dof, dof))
     g = jnp.zeros((dof,))
+    if pairs is None:
+        pairs = tuple((k, k + 1) for k in range(k_window - 1))
 
-    for k in range(k_window - 1):
-        T_rel = geo.se3_inverse(poses[k]) @ poses[k + 1]
-        r, Jk, Jk1 = _residual_jacobian(T_rel, src[k], ref[k], normal[k], valid[k])
+    for p, (i, j) in enumerate(pairs):
+        T_rel = geo.se3_inverse(poses[i]) @ poses[j]
+        r, Ji, Jj = _residual_jacobian(T_rel, src[p], ref[p], normal[p], valid[p])
+        if huber_delta is not None:
+            # IRLS Huber: the recorded correspondences are FROZEN assignments
+            # matched at an estimated pose — a fraction lands on wrong
+            # surfaces with large coherent residuals (see the frame-to-map
+            # analysis), and unweighted GN absorbs that bias wholesale.
+            w = jnp.sqrt(jnp.minimum(1.0, huber_delta / jnp.maximum(jnp.abs(r), 1e-12)))
+            r = r * w
+            Ji = Ji * w[:, None]
+            Jj = Jj * w[:, None]
         n = src.shape[1]
-        # Scatter into the big jacobian columns: pose k occupies block k-1
-        # (absent for k=0), pose k+1 occupies block k.
-        if k == 0:
-            J = jnp.zeros((n, dof)).at[:, 0:6].set(Jk1)
-        else:
-            J = (jnp.zeros((n, dof))
-                 .at[:, 6 * (k - 1):6 * k].set(Jk)
-                 .at[:, 6 * k:6 * (k + 1)].set(Jk1))
+        J = jnp.zeros((n, dof))
+        if i > 0:
+            J = J.at[:, 6 * (i - 1):6 * i].set(Ji)
+        if j > 0:
+            J = J.at[:, 6 * (j - 1):6 * j].set(Jj)
         H = H + J.T @ J
         g = g + J.T @ r
     return H, g
 
 
-@partial(jax.jit, static_argnames=("k_window", "iterations", "damping"))
+@partial(jax.jit, static_argnames=("k_window", "iterations", "damping", "pairs",
+                                   "huber_delta"))
 def refine_window(poses, src, ref, normal, valid,
-                  k_window: int, iterations: int = 5, damping: float = 1e-6):
+                  k_window: int, iterations: int = 5, damping: float = 1e-6,
+                  pairs=None, huber_delta=None):
     """Gauss-Newton refinement of a K-pose window (single-device path).
 
-    poses [K, 4, 4] f32; src/ref/normal [K-1, N, 3]; valid [K-1, N].
-    Returns refined poses [K, 4, 4]."""
+    poses [K, 4, 4] f32; src/ref/normal [P, N, 3]; valid [P, N] for P pose
+    pairs (default: the consecutive chain; pass skip pairs for an informative
+    window — see _assemble). Returns refined poses [K, 4, 4]."""
 
     def step(_, poses):
-        H, g = _assemble(poses, src, ref, normal, valid, k_window)
+        H, g = _assemble(poses, src, ref, normal, valid, k_window, pairs,
+                         huber_delta)
         dof = H.shape[0]
         delta = -jnp.linalg.solve(H + damping * jnp.eye(dof), g)
 
@@ -98,7 +118,8 @@ def refine_window(poses, src, ref, normal, valid,
 
 
 def make_distributed_refine(mesh: Mesh, k_window: int, iterations: int = 5,
-                            axis_name: str = "points", damping: float = 1e-6):
+                            axis_name: str = "points", damping: float = 1e-6,
+                            pairs=None):
     """Sharded windowed BA: correspondences sharded over `axis_name`, the
     per-shard (H, g) psum-reduced, solve + update replicated."""
     from jax import shard_map
@@ -106,7 +127,8 @@ def make_distributed_refine(mesh: Mesh, k_window: int, iterations: int = 5,
     def sharded_step(poses, src, ref, normal, valid):
         def body(poses, src_s, ref_s, normal_s, valid_s):
             def step(_, poses):
-                H, g = _assemble(poses, src_s, ref_s, normal_s, valid_s, k_window)
+                H, g = _assemble(poses, src_s, ref_s, normal_s, valid_s,
+                                 k_window, pairs)
                 H = jax.lax.psum(H, axis_name)
                 g = jax.lax.psum(g, axis_name)
                 dof = H.shape[0]

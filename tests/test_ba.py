@@ -1,0 +1,107 @@
+"""Sliding-window bundle adjustment integrated into the odometry driver
+(VERDICT r1 item 4): per-frame correspondence recording (previous + skip
+frame) and joint window refinement (parallel/ba.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from plo_tpu import config as cfgmod, geometry as geo
+from plo_tpu.io import synthetic
+from plo_tpu.models import Odometry
+from plo_tpu.parallel import ba
+from plo_tpu.utils import evaluate
+
+
+def test_refine_window_pairs_converges_to_gt():
+    """With exact plane correspondences (consecutive + skip pairs), the
+    generalized-pair Gauss-Newton recovers perturbed poses to float noise."""
+    rng = np.random.default_rng(0)
+    K, N = 4, 400
+    gt = []
+    x = np.eye(4)
+    for k in range(K):
+        gt.append(x.copy())
+        dR = np.asarray(geo.exp_so3(jnp.asarray(np.array([[0.0, 0.0, 0.05]]))))[0]
+        d = np.eye(4)
+        d[:3, :3] = dR
+        d[:3, 3] = [0.5, 0.02, 0.0]
+        x = x @ d
+    gt = np.stack(gt)
+
+    def make_pair(i, j):
+        pw = rng.uniform(-10, 10, (N, 3))
+        nw = rng.normal(size=(N, 3))
+        nw /= np.linalg.norm(nw, axis=1, keepdims=True)
+        s = (np.linalg.inv(gt[j]) @ np.c_[pw, np.ones(N)].T).T[:, :3]
+        y = (np.linalg.inv(gt[i]) @ np.c_[pw, np.ones(N)].T).T[:, :3]
+        n = (np.linalg.inv(gt[i])[:3, :3] @ nw.T).T
+        return s.astype(np.float32), y.astype(np.float32), n.astype(np.float32)
+
+    pairs = tuple((i, i + 1) for i in range(K - 1)) + tuple((i, i + 2) for i in range(K - 2))
+    blocks = [make_pair(i, j) for i, j in pairs]
+    src = jnp.asarray(np.stack([b[0] for b in blocks]))
+    ref = jnp.asarray(np.stack([b[1] for b in blocks]))
+    nrm = jnp.asarray(np.stack([b[2] for b in blocks]))
+    val = jnp.ones((len(pairs), N), bool)
+
+    noisy = gt.copy()
+    for k in range(1, K):
+        w = rng.normal(size=3) * 0.01
+        noisy[k][:3, :3] = noisy[k][:3, :3] @ np.asarray(geo.exp_so3(jnp.asarray(w[None])))[0]
+        noisy[k][:3, 3] += rng.normal(size=3) * 0.05
+
+    refined = np.asarray(ba.refine_window(
+        jnp.asarray(noisy.astype(np.float32)), src, ref, nrm, val,
+        K, 6, 1e-6, pairs))
+    err_before = max(np.linalg.norm(noisy[k][:3, 3] - gt[k][:3, 3]) for k in range(K))
+    err_after = max(np.linalg.norm(refined[k][:3, 3] - gt[k][:3, 3]) for k in range(K))
+    assert err_before > 0.03
+    assert err_after < 1e-4, err_after
+
+
+def test_ba_rescues_identity_init_catastrophes():
+    """The VERDICT done-criterion: on the reference's shipped identity-init
+    behavior at 1 m/frame (the BASELINE.md catastrophic-failure regime where
+    per-frame ICP intermittently freezes), windowed BA with skip-pair
+    constraints must improve ATE >= 2x. Measured ~9x (6.9 m -> 0.78 m over
+    20 frames); this trimmed run asserts the 2x bar with headroom."""
+    def mkcfg(ba_on):
+        return cfgmod.Config(
+            scan_registration=cfgmod.ScanRegistrationConfig(
+                sample_method=cfgmod.SampleConfig(
+                    method="random", random=cfgmod.RandomSampleConfig(max_points=1500)),
+            ),
+            laser_odometry=cfgmod.LaserOdometryConfig(
+                motion_prior=False,  # reference-shipped identity init
+                ba=cfgmod.BAConfig(enabled=ba_on, window=4, iterations=4,
+                                   max_correspondences=600),
+                matching_method=cfgmod.MatchingConfig(method="IMLS"),
+                solve_method=cfgmod.SolveConfig(
+                    method="RANSAC", iterations=30,
+                    ransac=cfgmod.RANSACConfig(max_iterations=300,
+                                               distance_threshold=0.2,
+                                               final_solve_method="DRPM")),
+            ),
+            sensor=cfgmod.SensorConfig(n_scans=32, azimuth_resolution=0.8),
+        )
+
+    world = synthetic.SyntheticWorld.corridor(seed=7, n_boxes=140, extent=60.0)
+    scans, gt = synthetic.synthetic_sequence(
+        16, n_scans=32, azimuth_steps=450, speed=1.0, yaw_rate=0.005, seed=11,
+        world=world)
+    gtr = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)
+    ate = {}
+    for ba_on in (False, True):
+        odo = Odometry(mkcfg(ba_on), capacity=16384, seed=0)
+        for s in scans:
+            odo.process_scan(s)
+        ate[ba_on] = evaluate.ate_rmse(odo.poses(), gtr, align=False)
+    assert ate[True] * 2.0 < ate[False], ate
+
+
+def test_ba_rejected_in_map_mode():
+    import pytest
+    cfg = cfgmod.Config(laser_odometry=cfgmod.LaserOdometryConfig(
+        target_mode="map", ba=cfgmod.BAConfig(enabled=True)))
+    with pytest.raises(ValueError, match="ba.enabled"):
+        Odometry(cfg, capacity=4096)
