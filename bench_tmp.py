@@ -50,22 +50,17 @@ def main():
     )
 
     world = synthetic.SyntheticWorld.corridor(seed=7, n_boxes=140, extent=120.0)
-    batch = 16
-    n_windows, window = 3, 2 * 16  # 3 timed windows of 2 batches
+    batch = 32
+    n_windows, window = 3, 32  # 3 timed windows of 2 batches
     n_warm = 1 + batch
     scans, _ = synthetic.synthetic_sequence(
         n_warm + n_windows * window, n_scans=64, azimuth_steps=900, speed=0.5,
         yaw_rate=0.005, seed=11, world=world)
 
     # Capacity = the HDL-64x900 grid size (the sensor can't return more);
-    # 64*900 = 57600 = 225*256 keeps lane-aligned tiling. transfer="grid16"
-    # ships each scan as the [64, 900] uint16 range raster the sensor fires
-    # on (115 KB/scan vs 345 KB int16 xyz — the remote tunnel's H2D is the
-    # wall-clock wall under bad link conditions) and removes the on-device
-    # ring-assignment/rasterization stage entirely; trajectory equal to the
-    # int16 path to the quantizer floor (tests/test_odometry.py::
-    # test_grid16_transfer_trajectory).
-    odo = Odometry(cfg, capacity=57600, seed=0, async_mode=True, transfer="grid16")
+    # 64*900 = 57600 = 225*256 keeps lane-aligned tiling and trims 14% off
+    # both the H2D transfer and every capacity-sized front-end op vs 65536.
+    odo = Odometry(cfg, capacity=57600, seed=0, async_mode=True)
     odo.process_scans(scans[:n_warm], batch=batch)  # frame 0 + one full batch (compiles)
     odo.finalize()
 

@@ -335,7 +335,7 @@ def _cached_map_ops(cfg: Config):
 
 
 @functools.lru_cache(maxsize=64)
-def _cached_batch_step(cfg: Config, capacity: int, quantized: bool):
+def _cached_batch_step(cfg: Config, capacity: int, transfer: str):
     """One jitted program advancing a batch of frames: a lax.scan whose carry
     holds the model-cloud window (the reference's accumulateTargetCloud state,
     stacked [K, P]) and the previous filtered cloud. Sequential frame
@@ -350,6 +350,16 @@ def _cached_batch_step(cfg: Config, capacity: int, quantized: bool):
     use_prior = cfg.laser_odometry.motion_prior
     use_undistort = cfg.laser_odometry.undistort
     qscale = Odometry.TRANSFER_QUANT_SCALE
+    quantized = transfer == "int16"
+
+    def fe_of(raw, n_valid, key_f, last_filtered):
+        if transfer == "grid16":
+            return frontend.raw_grid_fn(raw, key_f, last_filtered.xyz,
+                                        last_filtered.valid, first_frame=False)
+        if quantized:
+            raw = raw.astype(jnp.float32) * qscale
+        return run_frontend(raw, n_valid, key_f, last_filtered.xyz, None,
+                            last_filtered.valid, first_frame=False)
 
     if cfg.laser_odometry.target_mode == "map":
         insert, rel_of, prior_of, fix_pose = _cached_map_ops(cfg)
@@ -357,11 +367,8 @@ def _cached_batch_step(cfg: Config, capacity: int, quantized: bool):
         def step_map(carry, inp):
             map_cloud, last_filtered, world, last_rel, fidx, base_key = carry
             raw, n_valid = inp
-            if quantized:
-                raw = raw.astype(jnp.float32) * qscale
             key_f = jax.random.fold_in(base_key, fidx)
-            fe = run_frontend(raw, n_valid, key_f, last_filtered.xyz, None,
-                              last_filtered.valid, first_frame=False)
+            fe = fe_of(raw, n_valid, key_f, last_filtered)
             flat = fe.flat
             if use_undistort:
                 from plo_tpu.ops.undistort import undistort_cloud
@@ -390,11 +397,8 @@ def _cached_batch_step(cfg: Config, capacity: int, quantized: bool):
     def step(carry, inp):
         window, last_filtered, prior, fidx, base_key = carry
         raw, n_valid = inp
-        if quantized:
-            raw = raw.astype(jnp.float32) * qscale
         key_f = jax.random.fold_in(base_key, fidx)
-        fe = run_frontend(raw, n_valid, key_f, last_filtered.xyz, None,
-                          last_filtered.valid, first_frame=False)
+        fe = fe_of(raw, n_valid, key_f, last_filtered)
         flat = fe.flat
         if use_undistort:
             # Constant-velocity sweep compensation with the previous frame's
@@ -456,7 +460,19 @@ class Odometry:
     def __init__(self, cfg: Config, capacity: int = 131072, seed: int = 0,
                  async_mode: bool = False, sync_every: int = 64,
                  transfer: str = "int16"):
-        assert transfer in ("int16", "float32")
+        assert transfer in ("int16", "float32", "grid16")
+        if transfer == "grid16":
+            # grid16 ships the scan as the [H, W] uint16 range raster the
+            # sensor fires on (2 B/cell vs 6 B/point): ~3x less H2D and the
+            # whole preprocess/rasterize stage vanishes on device. Only valid
+            # for raster-aligned returns + the range_image pipeline.
+            if cfg.scan_registration.compute_normal_method.format != "range_image":
+                raise ValueError("transfer='grid16' requires "
+                                 "compute_normal_method.format='range_image'")
+            if cfg.scan_registration.presample_method.method == "curvature":
+                raise ValueError("transfer='grid16' does not support the "
+                                 "curvature presample (stage-1 ring curvature "
+                                 "needs the compact point layout)")
         self.transfer = transfer
         self.cfg = cfg
         self.frontend = _cached_frontend(cfg, capacity)
@@ -562,11 +578,33 @@ class Odometry:
                     "`capacity` to cover the sensor's max return count.",
                     RuntimeWarning, stacklevel=3)
 
+    def _pack_grid(self, raw_pts: np.ndarray) -> np.ndarray:
+        """Host-side grid16 rasterization of one raw scan (native C++, NumPy
+        fallback)."""
+        from plo_tpu.models.pipeline import GRID16_SCALE
+
+        h, w = self.frontend.height, self.frontend.width
+        grid = np.zeros((h, w), np.uint16)
+        s = self.cfg.sensor
+        raw = np.ascontiguousarray(raw_pts[:, :raw_pts.shape[1]], np.float32)
+        n = native.rasterize_grid16(raw, h, w, 1.0 / GRID16_SCALE,
+                                    s.minimum_range, s.maximum_range, grid)
+        if n is None:
+            native.rasterize_grid16_numpy(raw, h, w, 1.0 / GRID16_SCALE,
+                                          s.minimum_range, s.maximum_range, grid)
+        return grid
+
     def process_scan(self, raw_pts: np.ndarray) -> Optional[OdometryFrame]:
         self._note_truncation(len(raw_pts))
-        fe: FrontEndOutput = self.frontend.process(
-            raw_pts, self._next_key(), self.last_filtered,
-            first_frame=(self.frame_count == 0))
+        if self.transfer == "grid16":
+            fe: FrontEndOutput = self.frontend.process_grid(
+                self._pack_grid(raw_pts), self._next_key(),
+                first_frame=(self.frame_count == 0),
+                last_filtered=self.last_filtered)
+        else:
+            fe = self.frontend.process(
+                raw_pts, self._next_key(), self.last_filtered,
+                first_frame=(self.frame_count == 0))
 
         if self.frame_count > 0:
             target = (self._device_map if self._map_mode
@@ -811,7 +849,7 @@ class Odometry:
         Frame 0 (and any remainder frames) go through the single-frame path;
         full batches run as one dispatch each. Call finalize() after."""
         batch_step = _cached_batch_step(self.cfg, self.frontend.capacity,
-                                        self.transfer == "int16")
+                                        self.transfer)
         scans = list(scans)
         i = 0
         cap = self.frontend.capacity
@@ -822,7 +860,15 @@ class Odometry:
                 self.process_scan(scans[i])
                 i += 1
                 continue
-            if self.transfer == "int16":
+            if self.transfer == "grid16":
+                h, w = self.frontend.height, self.frontend.width
+                raws = np.zeros((batch, h, w), np.uint16)
+                nvs = np.zeros((batch,), np.int32)
+                for j in range(batch):
+                    self._note_truncation(len(scans[i + j]))
+                    raws[j] = self._pack_grid(scans[i + j])
+                    nvs[j] = int((raws[j] > 0).sum())
+            elif self.transfer == "int16":
                 # Fixed-point xyz-only transfer (intensity is never read from
                 # raw points — preprocess overwrites it with ring+relTime).
                 raws = np.zeros((batch, cap, 3), np.int16)

@@ -42,6 +42,10 @@ _FOV = {16: (15.0, -15.0), 32: (15.0, -25.0), 64: (2.0, -24.33)}  # scan_registr
 # them into its fused result row in this order).
 STATS_KEYS = ("n_candidates", "n_filtered", "n_plane_fail", "n_preprocessed", "n_sampled")
 
+# grid16 transfer quantization: uint16 3D range in 5 mm steps (covers 327 m;
+# 0 = empty cell). Matches native.rasterize_grid16.
+GRID16_SCALE = 0.005
+
 
 class FrontEnd:
     """Builds and holds the jitted per-config pipeline."""
@@ -102,8 +106,10 @@ class FrontEnd:
         self.filtered_capacity = (self.height * self.width
                                   if self.format == "range_image" else capacity)
 
-        self.raw_fn = self._build()  # unjitted; reused by the batched driver
+        # unjitted; reused by the batched driver
+        self.raw_fn, self.raw_grid_fn = self._build()
         self._process = jax.jit(self.raw_fn, static_argnames=("first_frame",))
+        self._process_grid = jax.jit(self.raw_grid_fn, static_argnames=("first_frame",))
 
     # ------------------------------------------------------------------
     def _build(self):
@@ -111,6 +117,43 @@ class FrontEnd:
         sr = cfg.scan_registration
         cn = sr.compute_normal_method
         ri = self._ri_engine
+
+        def grid_stage2(rng_img, xyzg, relg, occ, curv, srcg):
+            """Stages 2+ of the range_image format, shared by the pointcloud
+            rasterization path and the grid16 direct-transfer path."""
+            hw = self.height * self.width
+            grid_eigvals = jnp.zeros((hw, 3), jnp.float32)
+            plane_fail = jnp.zeros((hw,), bool)
+            eigvecs = None
+            if self.normal_method == "FALS":
+                nrm, ok = ri.fals(rng_img)
+            elif self.normal_method == "SRI":
+                nrm, ok = ri.sri(rng_img)
+            elif self.normal_method == "pca":
+                nrm, gev, eigvecs_g, keep, pfail = normals_ops.compute_normals_pca_grid(
+                    xyzg, occ, cn.pca, sr.use_all_points)
+                ok = keep & occ
+                nrm = jnp.where(ok[..., None], nrm, 0.0)
+                grid_eigvals = jnp.where(ok[..., None], gev, 0.0).reshape(hw, 3)
+                plane_fail = (pfail & occ).reshape(hw)
+                eigvecs = eigvecs_g.reshape(hw, 3, 3)
+            else:
+                raise ValueError(f"invalid normal method {self.normal_method!r}")
+            ring = jnp.repeat(jnp.arange(self.height, dtype=jnp.float32), self.width)
+            rel_flat = relg.reshape(hw)
+            if self.presample_method == "curvature" and curv is not None:
+                curv_flat = curv[srcg.reshape(hw)]
+            else:
+                curv_flat = jnp.zeros((hw,), jnp.float32)
+            cloud = PointCloud(
+                xyz=xyzg.reshape(hw, 3),
+                normal=nrm.reshape(hw, 3),
+                intensity=ring + 0.1 * rel_flat,
+                curvature=jnp.where(ok.reshape(hw), curv_flat, 0.0),
+                eigvals=grid_eigvals,
+                valid=ok.reshape(hw),
+            )
+            return cloud, plane_fail, eigvecs
 
         def run(pts, n_valid, key, last_xyz, last_normal_dummy, last_valid, first_frame: bool):
             # The grid paths only rasterize — they never index by ring
@@ -141,49 +184,23 @@ class FrontEnd:
                 plane_fail = nres.plane_fail
                 eigvecs = nres.eigvecs
             elif self.format == "range_image":
+                # TPU-native grid-stencil path (the pca method here is an
+                # extension beyond the reference's FALS/SRI: same math as
+                # pointcloud/pca, neighbor structure = the azimuth-aligned
+                # grid, zero gather ops).
                 rng_img, xyzg, relg, occ, srcg = pre_ops.rasterize_range_image(
                     rc, self.height, self.width)
-                hw = self.height * self.width
-                grid_eigvals = jnp.zeros((hw, 3), jnp.float32)
-                plane_fail = jnp.zeros((hw,), bool)
-                if self.normal_method == "FALS":
-                    nrm, ok = ri.fals(rng_img)
-                elif self.normal_method == "SRI":
-                    nrm, ok = ri.sri(rng_img)
-                elif self.normal_method == "pca":
-                    # TPU-native grid-stencil PCA (extension beyond the
-                    # reference's FALS/SRI range-image methods): same math as
-                    # the pointcloud/pca path, neighbor structure = the
-                    # azimuth-aligned grid, zero gather ops.
-                    nrm, gev, eigvecs_g, keep, pfail = normals_ops.compute_normals_pca_grid(
-                        xyzg, occ, cn.pca, sr.use_all_points)
-                    ok = keep & occ
-                    nrm = jnp.where(ok[..., None], nrm, 0.0)
-                    grid_eigvals = jnp.where(ok[..., None], gev, 0.0).reshape(hw, 3)
-                    plane_fail = (pfail & occ).reshape(hw)
-                    eigvecs = eigvecs_g.reshape(hw, 3, 3)
-                else:
-                    raise ValueError(f"invalid normal method {self.normal_method!r}")
-                ring = jnp.repeat(jnp.arange(self.height, dtype=jnp.float32), self.width)
-                rel_flat = relg.reshape(hw)
-                if self.presample_method == "curvature":
-                    # Carry the stage-1 curvature of each cell's winning point
-                    # (the reference copies laserCloud curvature into the
-                    # filtered cloud, scan_registration.cpp:1324).
-                    curv_flat = curv[srcg.reshape(hw)]
-                else:
-                    curv_flat = jnp.zeros((hw,), jnp.float32)
-                cloud = PointCloud(
-                    xyz=xyzg.reshape(hw, 3),
-                    normal=nrm.reshape(hw, 3),
-                    intensity=ring + 0.1 * rel_flat,
-                    curvature=jnp.where(ok.reshape(hw), curv_flat, 0.0),
-                    eigvals=grid_eigvals,
-                    valid=ok.reshape(hw),
-                )
+                cloud, plane_fail, eigvecs = grid_stage2(
+                    rng_img, xyzg, relg, occ,
+                    curv if self.presample_method == "curvature" else None, srcg)
             else:
                 raise ValueError(f"invalid data format {self.format!r}")
 
+            return stage3(cloud, plane_fail, eigvecs, rc.valid.sum(), key,
+                          last_xyz, last_valid, first_frame)
+
+        def stage3(cloud, plane_fail, eigvecs, n_preprocessed, key,
+                   last_xyz, last_valid, first_frame: bool):
             # Stage 3a — presample candidates.
             if self.presample_method == "geometric_features":
                 cand = features.presample_geometric(
@@ -234,7 +251,7 @@ class FrontEnd:
 
             flat = cloud.gather(idx, ivalid)
             stats = {
-                "n_preprocessed": rc.valid.sum(),
+                "n_preprocessed": n_preprocessed,
                 "n_filtered": cloud.valid.sum(),
                 "n_candidates": cand.sum(),
                 "n_sampled": flat.valid.sum(),
@@ -242,9 +259,61 @@ class FrontEnd:
             }
             return FrontEndOutput(filtered=cloud, flat=flat, stats=stats)
 
-        return run
+        def run_grid(grid_u16, key, last_xyz, last_valid, first_frame: bool):
+            """grid16 direct-transfer entry: the scan arrives as a
+            [H, W] uint16 quantized-3D-range grid (0 = empty; the raster the
+            sensor fires on), so ring assignment, relTime recovery, and the
+            scatter rasterization all vanish — xyz is reconstructed as
+            r * dir(ring, col) from the beam table, and the range image the
+            reference stores (2D range, scan_registration.cpp:943) is
+            r * cos(elevation)."""
+            r3d = grid_u16.astype(jnp.float32) * GRID16_SCALE
+            occ = grid_u16 > 0
+            dirs, cos_e = self._grid_dirs()
+            xyzg = r3d[..., None] * dirs
+            rng_img = jnp.where(occ, r3d * cos_e, jnp.inf)
+            relg = jnp.broadcast_to(
+                jnp.arange(self.width, dtype=jnp.float32)[None, :] / self.width,
+                (self.height, self.width))
+            cloud, plane_fail, eigvecs = grid_stage2(
+                rng_img, xyzg, relg, occ, None, None)
+            return stage3(cloud, plane_fail, eigvecs,
+                          occ.sum(), key, last_xyz, last_valid, first_frame)
+
+        return run, run_grid
 
     # ------------------------------------------------------------------
+    def _grid_dirs(self):
+        """Unit ray directions [H, W, 3] + per-ring cos(elevation) [H, 1] for
+        the grid16 raster (beam table = the sensor model the reference's ring
+        formulas encode; azimuth = clockwise from +x per column, the -atan2
+        convention of scan_registration.cpp:901)."""
+        from plo_tpu.io.synthetic import hdl64_vertical_angles
+
+        elev = jnp.deg2rad(jnp.asarray(hdl64_vertical_angles(self.height),
+                                       jnp.float32))             # [H]
+        az = -2.0 * jnp.pi * jnp.arange(self.width, dtype=jnp.float32) / self.width
+        cos_e = jnp.cos(elev)[:, None]
+        dirs = jnp.stack([
+            cos_e * jnp.cos(az)[None, :],
+            cos_e * jnp.sin(az)[None, :],
+            jnp.broadcast_to(jnp.sin(elev)[:, None], (self.height, self.width)),
+        ], axis=-1)
+        return dirs, cos_e
+
+    def process_grid(self, grid_u16: np.ndarray, key,
+                     first_frame: bool, last_filtered: Optional[PointCloud] = None
+                     ) -> FrontEndOutput:
+        """Run the pipeline on one grid16-packed scan [H, W] uint16."""
+        if last_filtered is None:
+            last_xyz = jnp.zeros((1, 3), jnp.float32)
+            last_valid = jnp.zeros((1,), bool)
+        else:
+            last_xyz = last_filtered.xyz
+            last_valid = last_filtered.valid
+        return self._process_grid(jnp.asarray(grid_u16), key, last_xyz,
+                                  last_valid, first_frame=first_frame)
+
     def process(self, raw_pts: np.ndarray, key, last_filtered: Optional[PointCloud],
                 first_frame: bool) -> FrontEndOutput:
         """Run the pipeline on one raw scan [N, >=3] (numpy, variable length)."""

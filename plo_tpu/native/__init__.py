@@ -43,6 +43,11 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
         lib.plo_quantize_pack.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_float, ctypes.POINTER(ctypes.c_int16), ctypes.c_int64]
+        lib.plo_rasterize_grid16.restype = ctypes.c_int64
+        lib.plo_rasterize_grid16.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.POINTER(ctypes.c_uint16)]
         _lib = lib
     except Exception:
         _build_failed = True
@@ -67,6 +72,65 @@ def quantize_pack(raw: np.ndarray, inv_scale: float, out: np.ndarray) -> Optiona
         raw.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         raw.shape[0], raw.shape[1], ctypes.c_float(inv_scale),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), out.shape[0]))
+
+
+def rasterize_grid16(raw: np.ndarray, n_scans: int, width: int,
+                     inv_scale: float, min_range: float, max_range: float,
+                     out: np.ndarray) -> Optional[int]:
+    """Rasterize one raw scan [n, >=3] f32 into a [n_scans, width] uint16
+    range grid (grid16 transfer format: 0 = empty, else quantized 3D range,
+    min wins per cell; rings via the Velodyne formulas, columns via the
+    azimuth fraction). Returns the occupied-cell count, or None when the
+    native library is unavailable / layout doesn't qualify (caller falls
+    back to NumPy)."""
+    lib = _ensure_built()
+    if (lib is None or raw.dtype != np.float32 or raw.ndim != 2
+            or raw.shape[1] < 3 or not raw.flags.c_contiguous
+            or out.dtype != np.uint16 or not out.flags.c_contiguous
+            or out.shape != (n_scans, width)):
+        return None
+    return int(lib.plo_rasterize_grid16(
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        raw.shape[0], raw.shape[1], n_scans, width,
+        ctypes.c_float(inv_scale), ctypes.c_float(min_range),
+        ctypes.c_float(max_range),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))))
+
+
+def rasterize_grid16_numpy(raw: np.ndarray, n_scans: int, width: int,
+                           inv_scale: float, min_range: float,
+                           max_range: float, out: np.ndarray) -> int:
+    """NumPy fallback for rasterize_grid16 (same semantics)."""
+    xyz = raw[:, :3].astype(np.float64)
+    finite = np.isfinite(xyz).all(axis=1)
+    r2d = np.hypot(xyz[:, 0], xyz[:, 1])
+    r3d = np.sqrt(r2d * r2d + xyz[:, 2] ** 2)
+    ok = finite & (r3d >= min_range) & (r3d <= max_range)
+    ang = np.degrees(np.arctan2(xyz[:, 2], np.maximum(r2d, 1e-12)))
+    if n_scans == 16:
+        ring = np.floor((ang + 15.0) / 2.0 + 0.5).astype(np.int64)
+        ok &= (ring >= 0) & (ring < 16)
+    elif n_scans == 32:
+        from plo_tpu.ops.preprocess import VLP32C_ANGLES
+        tbl = np.asarray(VLP32C_ANGLES)
+        ring = np.abs(ang[:, None] - tbl[None, :]).argmin(axis=1).astype(np.int64)
+    else:
+        ok &= (ang <= 2.0) & (ang >= -24.33)
+        rhi = np.floor((2.0 - ang) * 3.0 + 0.5).astype(np.int64)
+        rlo = 32 + np.floor((-8.83 - ang) * 2.0 + 0.5).astype(np.int64)
+        ring = np.where(ang >= -8.83, rhi, rlo)
+        ok &= (ring >= 0) & (ring <= 50)
+    frac = (-np.arctan2(xyz[:, 1], xyz[:, 0])) / (2 * np.pi)
+    frac -= np.floor(frac)
+    col = (np.rint(frac * width).astype(np.int64)) % width
+    q = np.minimum(np.rint(r3d * inv_scale), 65535).astype(np.uint16)
+    q = np.maximum(q, 1)
+    out[:] = 0
+    cell = ring[ok] * width + col[ok]
+    flat = out.reshape(-1)
+    order = np.argsort(q[ok], kind="stable")[::-1]  # min wins: write desc
+    flat[cell[order]] = q[ok][order]
+    return int((flat > 0).sum())
 
 
 def load_bin_padded(path: str, capacity: int) -> tuple[np.ndarray, int]:

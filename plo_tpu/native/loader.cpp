@@ -13,6 +13,7 @@
 //   plo_prefetcher_destroy(h)
 
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -123,6 +124,72 @@ int64_t quantize_pack(const float* raw, int64_t n, int64_t stride,
   return n;
 }
 
+// Rasterize one raw scan into a [n_scans, width] uint16 range grid (the
+// grid16 host->device transfer format): ring from the Velodyne elevation
+// formulas (scan_registration.cpp:948-1003 semantics, matching
+// plo_tpu/ops/preprocess.py::assign_rings), column from the azimuth fraction,
+// min-3D-range wins per cell, range quantized by inv_scale (0 = empty).
+// For raster-firing sensors this is lossless up to the 5 mm quantizer; the
+// device reconstructs xyz as r * dir(ring, col).
+static const float kVlp32Angles[27] = {
+    -25.000f, -15.639f, -11.310f, -8.843f, -7.254f, -6.148f, -5.333f, -4.667f,
+    -4.000f,  -3.667f,  -3.333f,  -3.000f, -2.667f, -2.333f, -2.000f, -1.667f,
+    -1.333f,  -1.000f,  -0.667f,  -0.333f, 0.000f,  0.333f,  0.667f,  1.000f,
+    1.333f,   1.667f,   2.333f};
+
+int64_t rasterize_grid16(const float* raw, int64_t n, int64_t stride,
+                         int64_t n_scans, int64_t width, float inv_scale,
+                         float min_range, float max_range, uint16_t* out) {
+  std::memset(out, 0, sizeof(uint16_t) * n_scans * width);
+  const float kPi = 3.14159265358979323846f;
+  int64_t kept = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const float* p = raw + i * stride;
+    float x = p[0], y = p[1], z = p[2];
+    if (x != x || y != y || z != z) continue;
+    float r2d = std::sqrt(x * x + y * y);
+    float r3d = std::sqrt(r2d * r2d + z * z);
+    if (r3d < min_range || r3d > max_range) continue;
+    float angle = std::atan2(z, r2d > 1e-12f ? r2d : 1e-12f) * (180.0f / kPi);
+    int64_t ring;
+    if (n_scans == 16) {
+      ring = (int64_t)std::floor((angle + 15.0f) / 2.0f + 0.5f);
+      if (ring < 0 || ring >= 16) continue;
+    } else if (n_scans == 32) {
+      int64_t best = 0;
+      float bd = 1e9f;
+      for (int64_t k = 0; k < 27; ++k) {
+        float d = std::fabs(angle - kVlp32Angles[k]);
+        if (d < bd) { bd = d; best = k; }
+      }
+      ring = best;
+    } else {  // 64
+      if (angle > 2.0f || angle < -24.33f) continue;
+      int64_t r;
+      if (angle >= -8.83f) r = (int64_t)std::floor((2.0f - angle) * 3.0f + 0.5f);
+      else r = 32 + (int64_t)std::floor((-8.83f - angle) * 2.0f + 0.5f);
+      if (r > 50 || r < 0) continue;
+      ring = r;
+    }
+    // Azimuth fraction: clockwise from +x (the -atan2 convention,
+    // scan_registration.cpp:901), wrapped to [0, 1).
+    float az = -std::atan2(y, x);
+    float frac = az / (2.0f * kPi);
+    frac -= std::floor(frac);
+    int64_t col = (int64_t)(frac * (float)width + 0.5f) % width;
+    float q = r3d * inv_scale + 0.5f;
+    if (q > 65535.0f) q = 65535.0f;
+    uint16_t qv = (uint16_t)q;
+    if (qv == 0) qv = 1;
+    uint16_t* cell = out + ring * width + col;
+    if (*cell == 0 || qv < *cell) {
+      if (*cell == 0) ++kept;
+      *cell = qv;
+    }
+  }
+  return kept;
+}
+
 }  // namespace
 
 extern "C" {
@@ -130,6 +197,13 @@ extern "C" {
 int64_t plo_quantize_pack(const float* raw, int64_t n, int64_t stride,
                           float inv_scale, int16_t* out, int64_t capacity) {
   return quantize_pack(raw, n, stride, inv_scale, out, capacity);
+}
+
+int64_t plo_rasterize_grid16(const float* raw, int64_t n, int64_t stride,
+                             int64_t n_scans, int64_t width, float inv_scale,
+                             float min_range, float max_range, uint16_t* out) {
+  return rasterize_grid16(raw, n, stride, n_scans, width, inv_scale,
+                          min_range, max_range, out);
 }
 
 int64_t plo_load_bin(const char* path, float* out, int64_t capacity) {

@@ -87,7 +87,7 @@ def test_ba_rescues_identity_init_catastrophes():
 
     world = synthetic.SyntheticWorld.corridor(seed=7, n_boxes=140, extent=60.0)
     scans, gt = synthetic.synthetic_sequence(
-        16, n_scans=32, azimuth_steps=450, speed=1.0, yaw_rate=0.005, seed=11,
+        12, n_scans=32, azimuth_steps=450, speed=1.0, yaw_rate=0.005, seed=11,
         world=world)
     gtr = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)
     ate = {}

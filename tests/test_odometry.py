@@ -301,3 +301,51 @@ def test_full_size_hdl64_headline():
         odo.process_scan(s)
     ate = evaluate.ate_rmse(odo.poses(), rel_to_first(gt), align=False)
     assert ate < 0.05, f"ATE {ate}"
+
+
+def test_grid16_transfer_trajectory():
+    """grid16 transfer (the [H, W] uint16 range raster, 2 B/cell vs 6 B/point
+    int16: ~3x less H2D and no on-device preprocess/rasterize) must match the
+    int16 trajectory to the quantizer floor on raster-aligned scans."""
+    cfg = cfgmod.Config(
+        scan_registration=cfgmod.ScanRegistrationConfig(
+            compute_normal_method=cfgmod.ComputeNormalConfig(
+                format="range_image", method="pca"),
+            presample_method=cfgmod.PresampleConfig(method="geometric_features"),
+            sample_method=cfgmod.SampleConfig(
+                method="random", random=cfgmod.RandomSampleConfig(max_points=1500)),
+        ),
+        laser_odometry=cfgmod.LaserOdometryConfig(
+            refresh_correspondences=False,
+            matching_method=cfgmod.MatchingConfig(method="IMLS"),
+            solve_method=cfgmod.SolveConfig(method="LS", iterations=20),
+        ),
+        sensor=cfgmod.SensorConfig(n_scans=N_SCANS, azimuth_resolution=360.0 / AZ_STEPS),
+    )
+    scans, gt = small_sequence(6)
+    gtr = rel_to_first(gt)
+    poses = {}
+    for transfer in ("int16", "grid16"):
+        odo = Odometry(cfg, capacity=CAPACITY, seed=0, async_mode=True, transfer=transfer)
+        odo.process_scans(scans, batch=3)
+        odo.finalize()
+        poses[transfer] = odo.poses()
+        assert evaluate.ate_rmse(poses[transfer], gtr, align=False) < 0.05
+    d = np.linalg.norm(poses["grid16"][:, :3, 3] - poses["int16"][:, :3, 3], axis=1)
+    assert d.max() < 0.02, d
+    # Native and NumPy rasterizers agree bit-for-bit.
+    from plo_tpu import native
+    from plo_tpu.models.pipeline import GRID16_SCALE
+    g1 = np.zeros((N_SCANS, AZ_STEPS), np.uint16)
+    g2 = np.zeros((N_SCANS, AZ_STEPS), np.uint16)
+    raw = np.ascontiguousarray(scans[0][:, :4], np.float32)
+    n1 = native.rasterize_grid16(raw, N_SCANS, AZ_STEPS, 1 / GRID16_SCALE, 2.0, 150.0, g1)
+    n2 = native.rasterize_grid16_numpy(raw, N_SCANS, AZ_STEPS, 1 / GRID16_SCALE, 2.0, 150.0, g2)
+    if n1 is not None:  # native toolchain available
+        assert n1 == n2 and (g1 == g2).all()
+
+
+def test_grid16_requires_range_image():
+    cfg = base_config()
+    with pytest.raises(ValueError, match="grid16"):
+        Odometry(cfg, capacity=CAPACITY, transfer="grid16")

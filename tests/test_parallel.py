@@ -159,7 +159,7 @@ def test_sharded_map_trajectory_matches_single_device():
     )
     world = synthetic.SyntheticWorld.corridor(seed=7, n_boxes=140, extent=60.0)
     scans, gt = synthetic.synthetic_sequence(
-        16, n_scans=32, azimuth_steps=450, speed=0.5, yaw_rate=0.01, seed=3, world=world)
+        10, n_scans=32, azimuth_steps=450, speed=0.5, yaw_rate=0.01, seed=3, world=world)
     gtr = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)
 
     mesh = get_mesh(8)

@@ -57,7 +57,7 @@ for iters in (30, 4):
     prior = odo._last_rel
     frame0 = jnp.asarray(odo.frame_count, jnp.int32)
     from plo_tpu.models.odometry import _cached_batch_step
-    bs = _cached_batch_step(odo.cfg, odo.frontend.capacity, odo.transfer == "int16")
+    bs = _cached_batch_step(odo.cfg, odo.frontend.capacity, odo.transfer)
     out = timeit(f"batch_step(8) iterations={iters}", bs, raws_d, nvs_d, window, odo.last_filtered, prior, frame0, odo.key)
     iters_used = np.asarray(jax.device_get(out[3][1]))
     print("   per-frame ICP iterations:", iters_used)

@@ -31,7 +31,7 @@ odo.finalize()
 
 cap = 65536
 from plo_tpu.models.odometry import _cached_batch_step
-bs = _cached_batch_step(odo.cfg, odo.frontend.capacity, odo.transfer == "int16")
+bs = _cached_batch_step(odo.cfg, odo.frontend.capacity, odo.transfer)
 i0 = 1 + batch
 for it in range(3):
     t0 = time.perf_counter()

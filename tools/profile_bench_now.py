@@ -1,11 +1,13 @@
-"""Phase timing of the CURRENT bench batched driver (range_image pca, int16)."""
+"""End-to-end wall decomposition of the CURRENT bench loop: host pack,
+H2D, batch_step device time, drain."""
 import time
 import numpy as np
 import jax, jax.numpy as jnp
 import sys; sys.path.insert(0, '/root/repo')
-from plo_tpu import config as cfgmod
+from plo_tpu import config as cfgmod, native
 from plo_tpu.io import synthetic
 from plo_tpu.models import Odometry
+from plo_tpu.models.odometry import _cached_batch_step
 
 cfg = cfgmod.Config(
     scan_registration=cfgmod.ScanRegistrationConfig(
@@ -14,6 +16,7 @@ cfg = cfgmod.Config(
         sample_method=cfgmod.SampleConfig(method="random", random=cfgmod.RandomSampleConfig(max_points=2000)),
     ),
     laser_odometry=cfgmod.LaserOdometryConfig(
+        refresh_correspondences=False,
         matching_method=cfgmod.MatchingConfig(method="IMLS"),
         solve_method=cfgmod.SolveConfig(method="RANSAC", iterations=30,
             ransac=cfgmod.RANSACConfig(max_iterations=1000, distance_threshold=0.2,
@@ -22,28 +25,25 @@ cfg = cfgmod.Config(
     sensor=cfgmod.SensorConfig(n_scans=64, azimuth_resolution=0.4),
 )
 world = synthetic.SyntheticWorld.corridor(seed=7, n_boxes=140, extent=120.0)
-batch = 8
-scans, _ = synthetic.synthetic_sequence(1 + 5 * batch, n_scans=64, azimuth_steps=900,
+batch = 16
+CAP = 57600
+scans, _ = synthetic.synthetic_sequence(1 + 3 * batch, n_scans=64, azimuth_steps=900,
                                         speed=0.5, yaw_rate=0.005, seed=11, world=world)
-odo = Odometry(cfg, capacity=65536, seed=0, async_mode=True)
+odo = Odometry(cfg, capacity=CAP, seed=0, async_mode=True, transfer="grid16")
 odo.process_scans(scans[:1 + batch], batch=batch)
 odo.finalize()
 
-cap = 65536
-from plo_tpu.models.odometry import _cached_batch_step
-bs = _cached_batch_step(odo.cfg, odo.frontend.capacity, odo.transfer)
-i0 = 1 + batch
-inv = 1.0 / odo.TRANSFER_QUANT_SCALE
-for it in range(4):
+bs = _cached_batch_step(odo.cfg, CAP, "grid16")
+inv = np.float32(1.0 / odo.TRANSFER_QUANT_SCALE)
+for rep in range(3):
+    i0 = 1 + batch
     t0 = time.perf_counter()
-    raws = np.zeros((batch, cap, 3), np.int16)
+    h, w = odo.frontend.height, odo.frontend.width
+    raws = np.zeros((batch, h, w), np.uint16)
     nvs = np.zeros((batch,), np.int32)
     for j in range(batch):
-        raw = scans[i0 + j]
-        n = min(len(raw), cap)
-        q = np.nan_to_num(raw[:n, :3].astype(np.float64) * inv, nan=1e9)
-        raws[j, :n] = np.clip(np.rint(q), -32767, 32767).astype(np.int16)
-        nvs[j] = n
+        raws[j] = odo._pack_grid(scans[i0 + j])
+        nvs[j] = int((raws[j] > 0).sum())
     t1 = time.perf_counter()
     raws_d = jnp.asarray(raws); nvs_d = jnp.asarray(nvs)
     jax.block_until_ready(raws_d)
@@ -51,21 +51,11 @@ for it in range(4):
     window = odo._window_state()
     prior = odo._last_rel
     frame0 = jnp.asarray(odo.frame_count, jnp.int32)
+    nw, nl, npr, outs = bs(raws_d, nvs_d, window, odo.last_filtered, prior, frame0, odo.key)
+    jax.block_until_ready(outs)
     t3 = time.perf_counter()
-    new_window, new_last, new_prior, outs = bs(raws_d, nvs_d, window,
-                                               odo.last_filtered, prior, frame0, odo.key)
-    jax.block_until_ready(new_window.xyz)
+    got = jax.device_get(outs)
     t4 = time.perf_counter()
-    rposes, iters, ncorrs, stats = outs
-    got = jax.device_get((rposes, iters, ncorrs))
-    t5 = time.perf_counter()
-    got2 = jax.device_get(stats)
-    t6 = time.perf_counter()
-    odo._last_rel = new_prior
-    odo._device_window = new_window
-    odo.last_filtered = new_last
-    odo.frame_count += batch
-    i0 += batch
-    print(f"iter{it}: pack {1000*(t1-t0):6.1f} | H2D {1000*(t2-t1):6.1f} | "
-          f"win {1000*(t3-t2):6.1f} | step {1000*(t4-t3):6.1f} | "
-          f"D2H poses {1000*(t5-t4):6.1f} | D2H stats {1000*(t6-t5):6.1f} ms")
+    print(f"rep{rep}: pack={1e3*(t1-t0):6.1f} H2D={1e3*(t2-t1):6.1f} "
+          f"device={1e3*(t3-t2):6.1f} fetch={1e3*(t4-t3):6.1f} ms "
+          f"-> {batch/(t4-t0):5.1f} scans/s (device-only {batch/(t3-t2):5.1f}/s)", flush=True)
