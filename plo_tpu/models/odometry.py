@@ -110,7 +110,12 @@ def _build_match_solve(cfg: Config):
         elif solve_method == "Teaser":
             t = sv.teaser
             return solve_gnc_tls(src_xyz, y, valid, t.noise_bound,
-                                 t.rotation_gnc_factor, min(t.rotation_max_iterations, 64))
+                                 t.rotation_gnc_factor,
+                                 min(t.rotation_max_iterations, 64),
+                                 use_max_clique=t.use_max_clique,
+                                 kcore_min_fraction=t.kcore_heuristic_threshold,
+                                 estimate_scaling=t.estimate_scaling,
+                                 key=key)
         raise ValueError(f"invalid solve method {solve_method!r}")
 
     def prepare_target(target: PointCloud):

@@ -1,15 +1,26 @@
-"""GNC-TLS robust registration — the capability slot of the reference's
-TEASER++ solver (SolveMotionEstimationProblemTeaser, solver.cpp:436-483).
+"""TEASER-style robust registration — the reference's TEASER++ solver slot
+(SolveMotionEstimationProblemTeaser, solver.cpp:436-483).
 
-The reference's Teaser path is marked broken/unverified (results.png), so full
-TEASER (max-clique pruning, rotation certification) is out of the
-parity-critical set; this module provides the core robust-registration
-capability the config exposes: graduated non-convexity with a truncated
-least-squares cost over the matched pairs (Yang et al., GNC), implemented as a
-fixed-iteration reweighted-Umeyama loop on device.
+The reference's Teaser path is marked broken/unverified (results.png), but the
+config surface promises the full pipeline, so this module implements the
+TEASER structure TPU-natively rather than a bare GNC loop:
 
-Config mapping: noise_bound -> TLS noise bound epsilon; rotation_gnc_factor ->
-mu schedule; rotation_max_iterations -> iteration cap (compile-time capped).
+  1. (optional, estimate_scaling) scale from translation-invariant
+     measurements: robust median of ||TIM_ref|| / ||TIM_src|| over sampled
+     correspondence pairs;
+  2. (optional, use_max_clique) inlier pruning on the TIM consistency graph —
+     edge (i, j) iff | ||s_i-s_j|| - ||r_i-r_j|| | <= 2*noise_bound. TEASER
+     approximates max-clique by a k-core heuristic (kcore_heuristic_threshold,
+     teaser::RobustRegistrationSolver); here the maximum non-empty k-core is
+     found by binary search over k with an iterative peeling fixpoint — pure
+     [N, N] masked matvecs, no graph library;
+  3. GNC-TLS alignment (Yang et al.) on the surviving set: graduated
+     non-convexity with a truncated-least-squares cost, implemented as a
+     fixed-iteration reweighted-Umeyama loop.
+
+Config mapping: noise_bound -> TLS epsilon + graph gate; rotation_gnc_factor
+-> mu schedule; rotation_max_iterations -> iteration cap (compile-time
+capped); use_max_clique/kcore_heuristic_threshold/estimate_scaling as above.
 """
 from __future__ import annotations
 
@@ -22,28 +33,106 @@ from plo_tpu import geometry as geo
 from plo_tpu.solvers.icp_umeyama import umeyama
 
 
-@partial(jax.jit, static_argnames=("max_iterations",))
+def _consistency_kcore(source, ref, valid, noise_bound, peel_iters: int = 12):
+    """Maximum non-empty k-core of the TIM consistency graph.
+
+    Returns a bool [N] inlier mask. Binary search over k (7 rounds covers
+    N <= 128k); each probe peels vertices with in-core degree < k to a
+    fixpoint. Every step is a masked [N, N] @ [N] matvec — MXU work."""
+    n = source.shape[0]
+    ds = jnp.linalg.norm(source[:, None, :] - source[None, :, :], axis=-1)
+    dr = jnp.linalg.norm(ref[:, None, :] - ref[None, :, :], axis=-1)
+    vv = valid[:, None] & valid[None, :]
+    adj = (jnp.abs(ds - dr) <= 2.0 * noise_bound) & vv
+    adj = adj & ~jnp.eye(n, dtype=bool)
+    adj_f = adj.astype(jnp.float32)
+
+    def core_nonempty(k):
+        def peel(_, keep):
+            deg = adj_f @ keep
+            return keep * (deg >= k).astype(jnp.float32)
+        keep = jax.lax.fori_loop(0, peel_iters, peel, valid.astype(jnp.float32))
+        return keep
+
+    # Binary search the largest k with a non-empty k-core.
+    def body(_, state):
+        lo, hi, best = state  # invariant: lo-core non-empty, hi-core empty
+        mid = (lo + hi) // 2
+        keep = core_nonempty(mid.astype(jnp.float32))
+        nonempty = jnp.sum(keep) > 0
+        lo2 = jnp.where(nonempty, mid, lo)
+        hi2 = jnp.where(nonempty, hi, mid)
+        best2 = jnp.where(nonempty, keep, best)
+        return lo2, hi2, best2
+
+    init = (jnp.asarray(1, jnp.int32), jnp.asarray(n, jnp.int32),
+            core_nonempty(1.0))
+    _, _, best = jax.lax.fori_loop(0, 17, body, init)
+    return best > 0.5
+
+
+def _estimate_scale(source, ref, valid, key, n_pairs: int = 1024):
+    """TEASER's scale estimate: robust median of TIM-norm ratios over sampled
+    correspondence pairs (teaser::ScalarTLSEstimator, median flavor)."""
+    n = source.shape[0]
+    ka, kb = jax.random.split(key)
+    ia = jax.random.randint(ka, (n_pairs,), 0, n)
+    ib = jax.random.randint(kb, (n_pairs,), 0, n)
+    ok = valid[ia] & valid[ib] & (ia != ib)
+    ns = jnp.linalg.norm(source[ia] - source[ib], axis=-1)
+    nr = jnp.linalg.norm(ref[ia] - ref[ib], axis=-1)
+    ratio = jnp.where(ok & (ns > 1e-6), nr / jnp.maximum(ns, 1e-6), jnp.nan)
+    # masked median via sort (NaNs sort last)
+    srt = jnp.sort(ratio)
+    count = jnp.sum(jnp.isfinite(ratio))
+    med = srt[jnp.clip((count - 1) // 2, 0, n_pairs - 1)]
+    return jnp.where(count >= 3, med, 1.0)
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "use_max_clique",
+                                   "estimate_scaling"))
 def solve_gnc_tls(source, ref, valid, noise_bound: float = 0.01,
-                  gnc_factor: float = 1.4, max_iterations: int = 64):
-    """Returns (deltaTrans 4x4, ok bool)."""
+                  gnc_factor: float = 1.4, max_iterations: int = 64,
+                  use_max_clique: bool = False,
+                  kcore_min_fraction: float = 0.0,
+                  estimate_scaling: bool = False,
+                  key=None):
+    """Returns (deltaTrans 4x4, ok bool). With use_max_clique, the TIM
+    consistency k-core prunes gross outliers before the GNC loop (falling
+    back to the unpruned set when the core is a sub-`kcore_min_fraction`
+    sliver, mirroring TEASER's kcore_heuristic_threshold semantics)."""
     eps2 = jnp.maximum(noise_bound**2, 1e-12)
     base_w = valid.astype(jnp.float32)
 
+    scale = 1.0
+    if estimate_scaling:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        scale = _estimate_scale(source, ref, valid, key)
+    src = source * scale
+
+    if use_max_clique:
+        core = _consistency_kcore(src, ref, valid, noise_bound)
+        n_core = jnp.sum(core.astype(jnp.float32))
+        n_valid = jnp.maximum(jnp.sum(base_w), 1.0)
+        use_core = (n_core >= 3) & (n_core / n_valid >= kcore_min_fraction)
+        base_w = jnp.where(use_core, core.astype(jnp.float32) * base_w, base_w)
+
     # Initial alignment + mu init from max residual (standard GNC-TLS).
-    R, t = umeyama(source, ref, base_w)
-    r2 = jnp.sum((source @ R.T + t - ref) ** 2, axis=-1)
-    r2_max = jnp.max(jnp.where(valid, r2, 0.0))
+    R, t = umeyama(src, ref, base_w + 1e-9)
+    r2 = jnp.sum((src @ R.T + t - ref) ** 2, axis=-1)
+    r2_max = jnp.max(jnp.where(base_w > 0, r2, 0.0))
     mu0 = jnp.maximum(1.0 / (2.0 * r2_max / eps2 - 1.0), 1e-6)
 
     def body(_, state):
         R, t, mu = state
-        r2 = jnp.sum((source @ R.T + t - ref) ** 2, axis=-1)
+        r2 = jnp.sum((src @ R.T + t - ref) ** 2, axis=-1)
         up = (mu + 1.0) / mu * eps2
         lo = mu / (mu + 1.0) * eps2
         w = jnp.where(r2 <= lo, 1.0, jnp.where(r2 >= up, 0.0,
                       jnp.sqrt(eps2 * mu * (mu + 1.0) / jnp.maximum(r2, 1e-20)) - mu))
         w = jnp.clip(w, 0.0, 1.0) * base_w
-        R2, t2 = umeyama(source, ref, w + 1e-9)
+        R2, t2 = umeyama(src, ref, w + 1e-9)
         return R2, t2, mu * gnc_factor
 
     iters = min(max_iterations, 64)
@@ -51,4 +140,5 @@ def solve_gnc_tls(source, ref, valid, noise_bound: float = 0.01,
     ok = jnp.all(jnp.isfinite(R)) & jnp.all(jnp.isfinite(t)) & (jnp.sum(valid.astype(jnp.int32)) >= 3)
     R = jnp.where(ok, R, jnp.eye(3, dtype=jnp.float32))
     t = jnp.where(ok, t, 0.0)
-    return geo.make_se3(R, t), ok
+    # The solved transform maps ORIGINAL source coords: fold the scale into R.
+    return geo.make_se3(R * scale, t), ok

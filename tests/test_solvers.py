@@ -236,3 +236,54 @@ def test_noise_estimate_closed_form(rng):
     mean_c, var_c = drpm.compute_noise_estimate(*args)
     np.testing.assert_allclose(np.asarray(mean_c), np.asarray(mean_d), rtol=2e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(var_c), np.asarray(var_d), rtol=2e-3, atol=1e-9)
+
+
+def test_teaser_kcore_prunes_structured_outliers():
+    """The TIM consistency k-core (TEASER's max-clique heuristic) isolates
+    the mutually-consistent inlier set under 45% structured outliers that
+    all point the same wrong way — the regime where plain reweighting can
+    lock onto the wrong mode."""
+    import jax
+    from plo_tpu import geometry as geo
+    from plo_tpu.solvers.gnc import solve_gnc_tls
+
+    rng = np.random.default_rng(0)
+    n = 220
+    src = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    R = np.asarray(geo.exp_so3(jnp.asarray(np.array([[0.03, -0.02, 0.3]]))))[0]
+    t = np.array([0.8, -0.4, 0.2], np.float32)
+    ref = (src @ R.T + t + rng.normal(0, 0.005, (n, 3))).astype(np.float32)
+    n_out = n * 45 // 100
+    # structured outliers: coherent shift (not random) of a block
+    ref[:n_out] += np.array([3.0, 1.5, -2.0], np.float32)
+
+    delta, ok = solve_gnc_tls(
+        jnp.asarray(src), jnp.asarray(ref), jnp.ones(n, bool),
+        noise_bound=0.05, max_iterations=64,
+        use_max_clique=True, kcore_min_fraction=0.3)
+    assert bool(ok)
+    got = np.asarray(delta)
+    np.testing.assert_allclose(got[:3, 3], t, atol=0.02)
+    np.testing.assert_allclose(got[:3, :3], R, atol=0.02)
+
+
+def test_teaser_scale_estimation():
+    import jax
+    from plo_tpu import geometry as geo
+    from plo_tpu.solvers.gnc import solve_gnc_tls
+
+    rng = np.random.default_rng(1)
+    n = 300
+    src = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    scale = 1.35
+    R = np.asarray(geo.exp_so3(jnp.asarray(np.array([[0.0, 0.0, 0.2]]))))[0]
+    ref = (scale * src @ R.T + np.array([0.5, 0.1, -0.3])).astype(np.float32)
+    delta, ok = solve_gnc_tls(
+        jnp.asarray(src), jnp.asarray(ref), jnp.ones(n, bool),
+        noise_bound=0.05, max_iterations=32, estimate_scaling=True,
+        key=jax.random.PRNGKey(0))
+    assert bool(ok)
+    got = np.asarray(delta)
+    # R block carries the scale (sR); residual of the full map ~ 0.
+    mapped = src @ got[:3, :3].T + got[:3, 3]
+    np.testing.assert_allclose(mapped, ref, atol=0.02)
