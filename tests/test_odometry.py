@@ -349,3 +349,22 @@ def test_grid16_requires_range_image():
     cfg = base_config()
     with pytest.raises(ValueError, match="grid16"):
         Odometry(cfg, capacity=CAPACITY, transfer="grid16")
+
+
+@pytest.mark.slow
+def test_method_matrix_all_green_combos_converge():
+    """The results.png analog (VERDICT r1 item 9): every green reference
+    method combination converges on the hardened synthetic (2 cm noise,
+    sweep distortion, 1% outliers). Full table: tools/method_matrix.py /
+    BASELINE.md."""
+    import subprocess
+    import sys
+    import os
+    out = subprocess.run(
+        [sys.executable, "tools/method_matrix.py", "--frames", "6",
+         "--threshold", "0.1"],
+        capture_output=True, text=True, timeout=3500,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=dict(os.environ, JAX_PLATFORMS="cpu"))
+    assert out.returncode == 0, out.stdout[-3000:]
+    assert "36/36 combos converged" in out.stdout
