@@ -11,9 +11,35 @@ proxy baseline is the 10 Hz sensor real-time rate (scanPeriod=0.1,
 scan_registration.cpp:55): vs_baseline = scans_per_sec / 10.
 """
 import json
+import os
 import time
 
 import numpy as np
+
+# Synthetic generation (113 HDL-64x900 raycasts vs 140 boxes) costs ~4.5 min
+# on this 2-core host — cache the deterministic scans on disk so repeat bench
+# runs spend their budget on the device, not on NumPy raycasting.
+_SCAN_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".bench_scans_v1.npz")
+
+
+def _cached_sequence(n_frames, **kw):
+    from plo_tpu.io import synthetic
+
+    if os.path.exists(_SCAN_CACHE):
+        try:
+            data = np.load(_SCAN_CACHE)
+            if int(data["n"]) == n_frames:
+                return [data[f"s{i}"] for i in range(n_frames)], data["gt"]
+        except Exception:
+            pass
+    scans, gt = synthetic.synthetic_sequence(n_frames, **kw)
+    try:
+        np.savez(_SCAN_CACHE, n=n_frames, gt=gt,
+                 **{f"s{i}": s for i, s in enumerate(scans)})
+    except Exception:
+        pass
+    return scans, gt
 
 
 def main():
@@ -53,7 +79,7 @@ def main():
     batch = 16
     n_windows, window = 3, 2 * 16  # 3 timed windows of 2 batches
     n_warm = 1 + batch
-    scans, _ = synthetic.synthetic_sequence(
+    scans, _ = _cached_sequence(
         n_warm + n_windows * window, n_scans=64, azimuth_steps=900, speed=0.5,
         yaw_rate=0.005, seed=11, world=world)
 

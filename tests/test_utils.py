@@ -102,3 +102,49 @@ def test_odometry_sync_noop_safe():
     odo = Odometry(cfgmod.Config(), capacity=256, async_mode=True)
     odo.sync()  # no device work, no pending results
     assert odo.finalize() == []
+
+
+def test_checkpoint_roundtrip_map_mode():
+    """Map-mode state (voxel map + world pose + last rel) survives a
+    checkpoint/restore and the resumed engine continues the trajectory."""
+    import dataclasses as dc
+    from plo_tpu import config as cfgmod
+    from plo_tpu.io import synthetic
+    from plo_tpu.models import Odometry
+    from plo_tpu.utils import checkpoint
+    import tempfile, os
+
+    cfg = cfgmod.Config(
+        scan_registration=cfgmod.ScanRegistrationConfig(
+            sample_method=cfgmod.SampleConfig(
+                method="random", random=cfgmod.RandomSampleConfig(max_points=800)),
+        ),
+        laser_odometry=cfgmod.LaserOdometryConfig(
+            target_mode="map",
+            map=cfgmod.MapConfig(voxel_size=0.3, capacity=16384),
+            matching_method=cfgmod.MatchingConfig(method="plane_ICP"),
+            solve_method=cfgmod.SolveConfig(method="LS", iterations=15),
+        ),
+        sensor=cfgmod.SensorConfig(n_scans=32, azimuth_resolution=0.8),
+    )
+    scans, _ = synthetic.synthetic_sequence(
+        5, n_scans=32, azimuth_steps=450, speed=0.5, yaw_rate=0.01, seed=3)
+
+    odo = Odometry(cfg, capacity=16384, seed=0)
+    for s in scans[:3]:
+        odo.process_scan(s)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.npz")
+        checkpoint.save(odo, path)
+        odo2 = Odometry(cfg, capacity=16384, seed=0)
+        checkpoint.load(odo2, path)
+        assert odo2.frame_count == 3
+        assert int(np.asarray(odo2._device_map.valid).sum()) == \
+            int(np.asarray(odo._device_map.valid).sum())
+        np.testing.assert_allclose(np.asarray(odo2._world_dev),
+                                   np.asarray(odo._world_dev))
+    for s in scans[3:]:
+        odo.process_scan(s)
+        odo2.process_scan(s)
+    # Same seeds + same restored state -> same continued chain.
+    np.testing.assert_allclose(odo2.poses()[-1], odo.poses()[-1], atol=1e-5)
