@@ -202,8 +202,32 @@ int64_t plo_quantize_pack(const float* raw, int64_t n, int64_t stride,
 int64_t plo_rasterize_grid16(const float* raw, int64_t n, int64_t stride,
                              int64_t n_scans, int64_t width, float inv_scale,
                              float min_range, float max_range, uint16_t* out) {
-  return rasterize_grid16(raw, n, stride, n_scans, width, inv_scale,
-                          min_range, max_range, out);
+  // Two-way threaded: each half of the scan rasterizes into its own grid,
+  // merged by per-cell min (0 = empty). The rasterizer sits on the bench's
+  // critical path (pack of batch k+1 only half-overlaps device compute of
+  // batch k), so halving it buys wall-clock directly.
+  if (n < 8192) {
+    return rasterize_grid16(raw, n, stride, n_scans, width, inv_scale,
+                            min_range, max_range, out);
+  }
+  const int64_t half = n / 2;
+  std::vector<uint16_t> g2(n_scans * width);
+  int64_t k1 = 0, k2 = 0;
+  std::thread worker([&] {
+    k2 = rasterize_grid16(raw + half * stride, n - half, stride, n_scans,
+                          width, inv_scale, min_range, max_range, g2.data());
+  });
+  k1 = rasterize_grid16(raw, half, stride, n_scans, width, inv_scale,
+                        min_range, max_range, out);
+  worker.join();
+  int64_t occupied = 0;
+  for (int64_t i = 0; i < n_scans * width; ++i) {
+    uint16_t a = out[i], b = g2[i];
+    uint16_t m = (a == 0) ? b : (b == 0 ? a : (a < b ? a : b));
+    out[i] = m;
+    if (m) ++occupied;
+  }
+  return occupied;
 }
 
 int64_t plo_load_bin(const char* path, float* out, int64_t capacity) {
