@@ -19,7 +19,6 @@ import dataclasses
 import functools
 import warnings
 from collections import deque
-from functools import partial
 from typing import Deque, Dict, List, Optional
 
 import jax
@@ -32,7 +31,7 @@ from plo_tpu.cloud import PointCloud
 from plo_tpu.config import Config
 from plo_tpu.models.pipeline import FrontEnd, FrontEndOutput
 from plo_tpu.ops import matching
-from plo_tpu.solvers import (solve_drpm, solve_gauss_newton, solve_gnc_tls,
+from plo_tpu.solvers import (solve_gauss_newton, solve_gnc_tls,
                              solve_icp_point_to_point, solve_ls_trimmed,
                              solve_ransac)
 
