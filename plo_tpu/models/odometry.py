@@ -858,9 +858,10 @@ class Odometry:
         i = 0
         cap = self.frontend.capacity
         while i < len(scans):
-            if self.frame_count == 0 or len(scans) - i < batch or self._ba:
-                # BA needs the per-frame path (it records correspondences and
-                # refines on the host pose chain every frame).
+            if (self.frame_count == 0 or len(scans) - i < batch or self._ba
+                    or self._artifact_dir is not None):
+                # BA and artifact mode need the per-frame path (correspondence
+                # recording / per-iteration dumps drive the host loop).
                 self.process_scan(scans[i])
                 i += 1
                 continue
