@@ -149,6 +149,45 @@ def render_scan(
     return np.concatenate([pts, refl], axis=1).astype(np.float32)
 
 
+def distort_sequence(scans: List[np.ndarray], gt: np.ndarray,
+                     n_scans: int) -> List[np.ndarray]:
+    """Apply per-point sweep-motion distortion (what a moving sensor records):
+    a point fired at sweep fraction t is observed from the interpolated pose
+    interp(rel, t), so its end-of-sweep-frame coordinates are inv(T_frac)
+    applied. Frame 0 distorts with frame 1's constant-velocity rel (the
+    sensor is already moving at t=0) — a clean frame 0 would plant a
+    half-sweep offset into any frame-to-frame chain at frame 1."""
+    import jax.numpy as jnp
+    from plo_tpu import geometry as geo
+
+    out = []
+    for i, s in enumerate(scans):
+        rel = np.linalg.inv(gt[max(i - 1, 0)]) @ gt[max(i, 1)]
+        t = (np.arange(len(s)) // n_scans) / max(len(s) // n_scans, 1)
+        T = np.asarray(geo.interpolate_pose(jnp.asarray(rel.astype(np.float32)),
+                                            jnp.asarray(t.astype(np.float32))))
+        Tinv = np.linalg.inv(T)
+        xyz = np.einsum("pij,pj->pi", Tinv[:, :3, :3],
+                        s[:, :3].astype(np.float64)) + Tinv[:, :3, 3]
+        s2 = s.copy()
+        s2[:, :3] = xyz.astype(np.float32)
+        out.append(s2)
+    return out
+
+
+def add_outliers(scans: List[np.ndarray], rng: np.random.Generator,
+                 frac: float = 0.01, extent: float = 40.0) -> List[np.ndarray]:
+    """Replace `frac` of each scan's points with uniform dynamic outliers."""
+    out = []
+    for s in scans:
+        s2 = s.copy()
+        n_out = int(len(s2) * frac)
+        idx = rng.integers(0, len(s2), n_out)
+        s2[idx, :3] = rng.uniform(-extent, extent, (n_out, 3)).astype(np.float32)
+        out.append(s2)
+    return out
+
+
 def synthetic_sequence(
     n_frames: int,
     n_scans: int = 64,

@@ -384,7 +384,12 @@ def _cached_batch_step(cfg: Config, capacity: int, transfer: str):
                                          jax.random.fold_in(key_f, 1), init_pose)
             wpose = fix_pose(wpose)
             new_rel = rel_of(world, wpose)
-            new_map = insert(map_cloud, fe.filtered, wpose)
+            filtered = fe.filtered
+            if use_undistort:
+                # The MODEL cloud must be compensated too (with this frame's
+                # solved motion) — see the single-frame path's note.
+                filtered = undistort_cloud(filtered, new_rel)
+            new_map = insert(map_cloud, filtered, wpose)
             out = jnp.concatenate(
                 [wpose.reshape(16),
                  iters[None].astype(jnp.float32), ncorr[None].astype(jnp.float32)]
@@ -426,9 +431,14 @@ def _cached_batch_step(cfg: Config, capacity: int, transfer: str):
             [rpose.reshape(16),
              iters[None].astype(jnp.float32), ncorr[None].astype(jnp.float32)]
             + [fe.stats[k][None].astype(jnp.float32) for k in sorted(fe.stats)])
+        filtered = fe.filtered
+        if use_undistort:
+            # The MODEL cloud must be compensated too (with this frame's
+            # solved motion) — see the single-frame path's note.
+            filtered = undistort_cloud(filtered, rpose)
         new_window = jax.tree_util.tree_map(
             lambda a, n: jnp.concatenate([a[1:], n[None]], axis=0),
-            window, fe.filtered)
+            window, filtered)
         return (new_window, fe.filtered, rpose, fidx + 1, base_key), out
 
     @jax.jit
@@ -649,14 +659,25 @@ class Odometry:
         self._pending.append((kind, index, rpose, i, nc, fe.stats))
 
         # Model update: persistent voxel map, or the reference's
-        # max_queue_size window of filtered clouds.
+        # max_queue_size window of filtered clouds. With undistortion on, the
+        # MODEL cloud must be compensated too (with this frame's solved
+        # motion — the best sweep-velocity estimate): an undistorted source
+        # matched against a distorted target is WORSE than leaving both
+        # distorted (consecutive equal distortions largely cancel; measured
+        # 526 mm vs 48 mm ATE on a sweep-distorted run before this fix).
+        filtered = fe.filtered
+        if self.cfg.laser_odometry.undistort and self.frame_count > 0:
+            # _last_rel holds this frame's solved body-frame motion in both
+            # window mode (rpose) and map mode (inv(world_prev) @ world).
+            from plo_tpu.ops.undistort import undistort_cloud
+            filtered = undistort_cloud(filtered, self._last_rel)
         if self._map_mode:
             if self._device_map is None:
                 self._device_map = PointCloud.zeros(self.cfg.laser_odometry.map.capacity)
-            self._device_map = self._map_insert(self._device_map, fe.filtered,
+            self._device_map = self._map_insert(self._device_map, filtered,
                                                 self._world_dev)
         else:
-            self.cloud_queue.append(fe.filtered)
+            self.cloud_queue.append(filtered)
             while len(self.cloud_queue) > self.cfg.laser_odometry.max_queue_size:
                 self.cloud_queue.popleft()
         self.last_filtered = fe.filtered

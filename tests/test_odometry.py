@@ -161,18 +161,37 @@ def test_undistort_cloud_inverts_motion_distortion(rng=np.random.default_rng(0))
     np.testing.assert_allclose(np.asarray(restored.xyz), xyz, atol=1e-3)
 
 
-def test_undistortion_e2e_runs():
-    """Pipeline with undistortion enabled runs and stays finite (synthetic
-    scans are instantaneous, so no accuracy claim — the compensation model
-    assumes real sweep motion)."""
+def test_undistortion_improves_ate_on_swept_scans():
+    """On sequences with real per-point sweep-motion distortion
+    (synthetic.distort_sequence), constant-velocity undistortion must improve
+    ATE — and it must compensate BOTH the source and the model cloud: an
+    undistorted source matched against a distorted target measured 526 mm vs
+    48 mm uncompensated (consecutive equal distortions largely cancel);
+    with both compensated: 16 mm."""
     import dataclasses as dc
-    cfg = base_config(
-        matching_method=cfgmod.MatchingConfig(method="plane_ICP"),
-        solve_method=cfgmod.SolveConfig(method="LS", iterations=10),
-    )
-    cfg = dc.replace(cfg, laser_odometry=dc.replace(cfg.laser_odometry, undistort=True))
-    est, gt, odo = run_sequence(cfg, n_frames=3)
-    assert np.isfinite(est).all()
+    world = synthetic.SyntheticWorld.corridor(seed=7, n_boxes=140, extent=60.0)
+    scans, gt = small_sequence(8, speed=0.8, yaw_rate=0.02, world=world)
+    scans = synthetic.distort_sequence(scans, gt, N_SCANS)
+    gtr = rel_to_first(gt)
+    ate = {}
+    for undistort in (False, True):
+        cfg = base_config(
+            motion_prior=True, undistort=undistort,
+            matching_method=cfgmod.MatchingConfig(method="plane_ICP"),
+            solve_method=cfgmod.SolveConfig(method="LS", iterations=25),
+        )
+        odo = Odometry(cfg, capacity=CAPACITY, seed=0)
+        for s in scans:
+            odo.process_scan(s)
+        ate[undistort] = evaluate.ate_rmse(odo.poses(), gtr, align=False)
+    assert ate[True] < ate[False], ate
+    assert ate[True] < 0.03, ate
+    # The batched lax.scan driver compensates the model cloud too.
+    odo_b = Odometry(cfg, capacity=CAPACITY, seed=0, async_mode=True)
+    odo_b.process_scans(scans, batch=3)
+    odo_b.finalize()
+    ate_b = evaluate.ate_rmse(odo_b.poses(), gtr, align=False)
+    assert ate_b < 0.04, ate_b
 
 
 def test_interpolate_pose_endpoints(rng):

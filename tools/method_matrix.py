@@ -21,43 +21,6 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import numpy as np  # noqa: E402
 
 
-def distort_sequence(scans, gt, n_scans):
-    """Apply per-point sweep-motion distortion (what a moving sensor records):
-    a point fired at sweep fraction t is observed from the pose interp(rel, t),
-    so its coordinates in the end-of-sweep frame are inv(T_frac) applied."""
-    import jax.numpy as jnp
-    from plo_tpu import geometry as geo
-
-    out = []
-    for i, s in enumerate(scans):
-        # Frame 0 distorts with the constant-velocity rel of frame 1 (the
-        # sensor is already moving at t=0); otherwise the clean frame 0
-        # plants a half-sweep offset into the chain at frame 1 that reads as
-        # a uniform ~170 mm ATE floor across every method.
-        rel = np.linalg.inv(gt[max(i - 1, 0)]) @ gt[max(i, 1)]
-        t = (np.arange(len(s)) // n_scans) / max(len(s) // n_scans, 1)
-        T = np.asarray(geo.interpolate_pose(jnp.asarray(rel.astype(np.float32)),
-                                            jnp.asarray(t.astype(np.float32))))
-        Tinv = np.linalg.inv(T)
-        xyz = np.einsum("pij,pj->pi", Tinv[:, :3, :3], s[:, :3].astype(np.float64)) \
-            + Tinv[:, :3, 3]
-        s2 = s.copy()
-        s2[:, :3] = xyz.astype(np.float32)
-        out.append(s2)
-    return out
-
-
-def add_outliers(scans, rng, frac=0.01):
-    out = []
-    for s in scans:
-        s2 = s.copy()
-        n_out = int(len(s2) * frac)
-        idx = rng.integers(0, len(s2), n_out)
-        s2[idx, :3] = rng.uniform(-40, 40, (n_out, 3)).astype(np.float32)
-        out.append(s2)
-    return out
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=6)
@@ -86,7 +49,8 @@ def main():
         yaw_rate=0.01, seed=3, world=world)
     synthetic.render_scan = orig_render
     rng = np.random.default_rng(5)
-    scans = add_outliers(distort_sequence(scans, gt, N_SCANS), rng)
+    scans = synthetic.add_outliers(
+        synthetic.distort_sequence(scans, gt, N_SCANS), rng)
     gtr = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)
 
     def mkcfg(presample, sampler, match, solver):
