@@ -86,7 +86,8 @@ def main(argv=None):
         from plo_tpu.io import kitti
         assert args.kitti_root, "--kitti-root required for the kitti dataset"
         scans = (s for _, s in kitti.kitti_scan_iterator(
-            args.kitti_root, args.seq, start=args.start, count=args.frames))
+            args.kitti_root, args.seq, start=args.start, count=args.frames,
+            capacity=args.capacity))
         pose_file = os.path.join(args.kitti_root, "poses", f"{args.seq}.txt")
         if os.path.exists(pose_file):
             gt = kitti.read_poses(pose_file)

@@ -50,15 +50,28 @@ def poses_to_velodyne_frame(poses_cam: np.ndarray, tr: np.ndarray) -> np.ndarray
 
 
 def kitti_scan_iterator(
-    root: str, sequence: str = "00", start: int = 0, count: Optional[int] = None
+    root: str, sequence: str = "00", start: int = 0, count: Optional[int] = None,
+    capacity: Optional[int] = None,
 ) -> Iterator[Tuple[int, np.ndarray]]:
-    """Yield (frame_index, [N, 4] points) for a KITTI sequence."""
+    """Yield (frame_index, [N, 4] points) for a KITTI sequence.
+
+    With `capacity`, scans stream through the native threaded prefetcher
+    (plo_tpu/native: the next .bin is read + padded on a C++ thread while the
+    current scan is on-device), yielding zero-padded [capacity, 4] arrays."""
     vdir = os.path.join(root, "sequences", sequence, "velodyne")
     files = sorted(f for f in os.listdir(vdir) if f.endswith(".bin"))
     if count is not None:
         files = files[start : start + count]
     else:
         files = files[start:]
+    if capacity is not None:
+        from plo_tpu import native
+
+        paths = [os.path.join(vdir, f) for f in files]
+        idxs = [int(os.path.splitext(f)[0]) for f in files]
+        for idx, (scan, n) in zip(idxs, native.ScanPrefetcher(paths, capacity)):
+            yield idx, scan[:n]
+        return
     for f in files:
         idx = int(os.path.splitext(f)[0])
         yield idx, read_velodyne_bin(os.path.join(vdir, f))
