@@ -108,6 +108,13 @@ def _build_match_solve(cfg: Config):
                                             min(sv.icp.max_iterations, 30))
         elif solve_method == "Teaser":
             t = sv.teaser
+            if t.rotation_estimation_algorithm != "GNC_TLS":
+                warnings.warn(
+                    f"Teaser rotation algorithm "
+                    f"{t.rotation_estimation_algorithm!r} is not implemented; "
+                    "falling back to GNC_TLS (the reference's default; its "
+                    "FGR/QUATRO variants are gray/broken in results.png)",
+                    RuntimeWarning, stacklevel=2)
             return solve_gnc_tls(src_xyz, y, valid, t.noise_bound,
                                  t.rotation_gnc_factor,
                                  min(t.rotation_max_iterations, 64),

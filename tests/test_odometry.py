@@ -387,3 +387,25 @@ def test_method_matrix_all_green_combos_converge():
         env=dict(os.environ, JAX_PLATFORMS="cpu"))
     assert out.returncode == 0, out.stdout[-3000:]
     assert "36/36 combos converged" in out.stdout
+
+
+def test_normal_sampler_e2e():
+    """sample_method='normal' (spherical-histogram binning — gray/unverified
+    in the reference's own matrix) drives the full pipeline to a sane
+    trajectory."""
+    cfg = cfgmod.Config(
+        scan_registration=cfgmod.ScanRegistrationConfig(
+            sample_method=cfgmod.SampleConfig(
+                method="normal",
+                normal=cfgmod.NormalSampleConfig(max_points_per_bin=40)),
+        ),
+        laser_odometry=cfgmod.LaserOdometryConfig(
+            matching_method=cfgmod.MatchingConfig(method="plane_ICP"),
+            solve_method=cfgmod.SolveConfig(method="LS", iterations=20),
+        ),
+        sensor=cfgmod.SensorConfig(n_scans=N_SCANS, azimuth_resolution=360.0 / AZ_STEPS),
+    )
+    est, gt, odo = run_sequence(cfg, n_frames=4)
+    ate = evaluate.ate_rmse(est, gt, align=False)
+    assert ate < 0.1, ate
+    assert odo.trajectory[-1].n_correspondences > 50
