@@ -147,6 +147,36 @@ def _build_match_solve(cfg: Config):
     return match, solve, prepare_target, freeze_correspondences, imls_cfg
 
 
+def _flat_query_cap(cfg: Config) -> Optional[int]:
+    """Static upper bound on VALID sampled points per non-first frame, when it
+    is smaller than the flat cloud's capacity — the ICP drivers slice their
+    source to this prefix.
+
+    major_axis quotas sum to <= max_total_points (sum_i floor(w_i * max) with
+    sum w = 1, scan_registration.cpp:732), but the flat CAPACITY is inflated
+    by the frame-1 normal-binning fallback (bins * max_points_per_bin). The
+    sampled cloud is valid-first ordered (sampling.compact_indices), and the
+    fallback-sampled first frame is never an ICP source (frame 0 has no
+    target), so a [:cap] slice drops only padding — while every per-iteration
+    search/transform/solve shrinks by the capacity ratio (3.2x under the
+    reference config)."""
+    sm = cfg.scan_registration.sample_method
+    if sm.method != "major_axis":
+        return None
+    live = -(-sm.major_axis.max_total_points // 128) * 128  # lane-aligned
+    full = max(sm.major_axis.max_total_points,
+               sm.normal.azimuth_bins * sm.normal.elevation_bins
+               * sm.normal.max_points_per_bin)
+    return live if live < full else None
+
+
+def _slice_flat(cfg: Config, flat: PointCloud) -> PointCloud:
+    cap = _flat_query_cap(cfg)
+    if cap is None or flat.xyz.shape[0] <= cap:
+        return flat
+    return jax.tree_util.tree_map(lambda a: a[:cap], flat)
+
+
 def _make_icp_step(cfg: Config, jit: bool = True):
     """Build the per-frame ICP loop for a config (jitted unless jit=False)."""
     lo = cfg.laser_odometry
@@ -166,6 +196,7 @@ def _make_icp_step(cfg: Config, jit: bool = True):
     def icp_step(flat: PointCloud, target: PointCloud, key, init_pose=None):
         if init_pose is None:
             init_pose = jnp.eye(4, dtype=jnp.float32)
+        flat = _slice_flat(cfg, flat)
         tgt_normal, tgt_normal_ok = prepare_target(target)
 
         if freeze_correspondences:
@@ -241,6 +272,7 @@ def _make_icp_iteration(cfg: Config):
     @jax.jit
     def iteration(flat: PointCloud, target: PointCloud, tgt_normal,
                   tgt_normal_ok, rpose, key):
+        flat = _slice_flat(cfg, flat)
         src_xyz = geo.transform_points(rpose, flat.xyz)
         if transform_normal:
             src_normal = geo.rotate_vectors(rpose, flat.normal)
@@ -275,6 +307,8 @@ def _make_record_corr(cfg: Config):
 
     @jax.jit
     def record(flat: PointCloud, target: PointCloud, rel_pose):
+        if (_flat_query_cap(cfg) or 0) >= n_out:
+            flat = _slice_flat(cfg, flat)  # compaction below needs >= n_out rows
         tgt_normal, tgt_normal_ok = prepare_target(target)
         src_xyz = geo.transform_points(rel_pose, flat.xyz)
         if transform_normal:

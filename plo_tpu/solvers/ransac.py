@@ -83,9 +83,14 @@ def _solve_seed(A3: jnp.ndarray, b3: jnp.ndarray):
 @partial(jax.jit, static_argnames=("max_iterations", "hyp_chunk"))
 def _score_hypotheses(source, ref, normal, valid, R_all, t_all,
                       distance_threshold: float, max_iterations: int,
-                      hyp_chunk: int = 500):
+                      hyp_chunk: int = 0):
     """Inlier counts for all hypotheses, chunked over hypotheses."""
     m = max_iterations
+    if hyp_chunk <= 0:
+        # One matmul when the [M, N] score matrix fits comfortably (<=512 MB
+        # f32): at RANSAC-5000 x 6400 correspondences the single-chunk form
+        # replaces 10 launch-bound small matmuls with one MXU pass.
+        hyp_chunk = m if m * source.shape[0] <= 2048 * 65536 else 500
     n_chunks = -(-m // hyp_chunk)
     pad = n_chunks * hyp_chunk - m
     Rp = jnp.concatenate([R_all, jnp.tile(jnp.eye(3)[None], (pad, 1, 1))]).reshape(
