@@ -34,6 +34,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _P1, _P2, _P3 = 73856093, 19349663, 83492791  # classic spatial-hash primes
 _FIB = 2654435761  # Knuth multiplicative-mix constant (2^32 / phi)
@@ -98,8 +99,11 @@ def build(xyz: jnp.ndarray, valid: jnp.ndarray, cell_size,
     )
 
 
-_OFFSETS = jnp.stack(jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"),
-                     axis=-1).reshape(27, 3)
+# numpy (not jnp): a module-level device constant would initialize the
+# XLA backend at import time, breaking jax.distributed.initialize()
+# (which must run before any backend use — parallel/distributed.py).
+_OFFSETS = np.stack(np.meshgrid(*([np.arange(-1, 2)] * 3), indexing="ij"),
+                    axis=-1).reshape(27, 3)
 
 
 @partial(jax.jit, static_argnames=("k", "m"))

@@ -28,16 +28,19 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from plo_tpu.config import SensorConfig
 
 # VLP-32C elevation table — 27 entries for 32 rings, a reference quirk kept
-# verbatim (scan_registration.cpp:960-964).
-VLP32C_ANGLES = jnp.array(
+# verbatim (scan_registration.cpp:960-964). numpy (not jnp): a module-level
+# device constant would initialize the XLA backend at import time, breaking
+# jax.distributed.initialize() (parallel/distributed.py).
+VLP32C_ANGLES = np.array(
     [-25.000, -15.639, -11.310, -8.843, -7.254, -6.148, -5.333, -4.667, -4.000,
      -3.667, -3.333, -3.000, -2.667, -2.333, -2.000, -1.667, -1.333, -1.000,
      -0.667, -0.333, 0.000, 0.333, 0.667, 1.000, 1.333, 1.667, 2.333],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 

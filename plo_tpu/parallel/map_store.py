@@ -99,12 +99,21 @@ class ShardedMapStore:
         self.cloud: PointCloud | None = None  # [D*M] shard-major
         self._shard_spec = NamedSharding(mesh, P(axis_name))
         self._repl = NamedSharding(mesh, P())
+        # Multi-process-safe placements: jitted identity/partition programs
+        # with explicit out_shardings. `jax.device_put(host_array, sharding)`
+        # fails on a multi-process mesh (the target devices are not all
+        # addressable from this process); a jitted program with
+        # out_shardings works identically in both regimes — host inputs are
+        # treated as process-uniform (every process passes the same value).
+        self._to_repl = jax.jit(lambda t: t, out_shardings=self._repl)
+        self._to_shard = jax.jit(lambda t: t, out_shardings=self._shard_spec)
+        self._partition = jax.jit(
+            lambda c: partition_cloud(c, self.n_shards, self.per_shard, self.voxel),
+            out_shardings=(self._shard_spec, self._repl))
 
     def set_model(self, cloud: PointCloud):
         """Partition + place the model cloud (replaces accumulateTargetCloud)."""
-        part, counts = partition_cloud(cloud, self.n_shards, self.per_shard, self.voxel)
-        self.cloud = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, self._shard_spec), part)
+        self.cloud, counts = self._partition(cloud)
         return counts
 
     @partial(jax.jit, static_argnames=("self", "k"))
@@ -146,7 +155,7 @@ class ShardedMapStore:
         """Global-exact k-NN against the sharded model.
         Returns (d2 [Q, k], global idx [Q, k] into the shard-major cloud,
         valid [Q, k])."""
-        q = jax.device_put(query_xyz, self._repl)
+        q = self._to_repl(query_xyz)
         d2, gidx = self._query(q, self.cloud.xyz, self.cloud.valid, k)
         valid = (gidx >= 0) & (d2 <= radius**2) & jnp.isfinite(d2)
         return d2, gidx, valid
@@ -198,7 +207,7 @@ class ShardedMapStore:
         normal_ok [Q,k], valid [Q,k]) — exactly what
         matching.imls_project_candidates consumes; the global map is never
         materialized on one device."""
-        q = jax.device_put(query_xyz, self._repl)
+        q = self._to_repl(query_xyz)
         d2, rows = self._query_gather(q, self.cloud.xyz, self.cloud.normal,
                                       self.cloud.valid, k)
         valid = jnp.isfinite(d2) & (d2 <= radius**2)

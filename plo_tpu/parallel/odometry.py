@@ -17,6 +17,17 @@ mode (models/odometry.py, target_mode="map"):
     (matching.imls_project_candidates) and solves replicated — identical math
     to the single-device freeze path, so trajectories match to float
     tolerance (tests/test_parallel.py asserts it).
+
+Multi-process execution (parallel/distributed.py): every device-state
+placement here is a jitted program with explicit out_shardings (never
+`jax.device_put` of a host array onto non-addressable devices), the pose
+chain stays device-resident between frames (one jitted update per frame, no
+host round trip), and per-frame results are fetched lazily — `finalize()` /
+`poses()` drain them in one transfer. Under `jax.process_count() > 1` the
+(replicated) front-end output is staged through host numpy so the local
+front-end program and the global sharded program never mix device
+placements; `tests/test_distributed.py` runs this path with 2 real processes
+x 4 virtual CPU devices over gloo and asserts the single-process trajectory.
 """
 from __future__ import annotations
 
@@ -48,7 +59,6 @@ def _make_candidate_icp(cfg: Config):
     iterations = sv.iterations
     _, solve, _, _, _ = _build_match_solve(cfg)
 
-    @jax.jit
     def icp(flat: PointCloud, cxyz, cnrm, cok, cpresent, key, init_pose):
         def cond(state):
             i, rpose, done, _, _ = state
@@ -86,11 +96,18 @@ class ShardedMapOdometry:
     """Frame-to-map odometry with the map sharded over a device mesh.
 
     Scope: the headline euclidean-IMLS configuration (frozen candidate set
-    per frame — the production fast path); the front-end runs replicated.
+    per frame — the production fast path); the front-end runs replicated
+    (each process computes it locally on identical inputs).
+
+    defer_fetch=True keeps every per-frame result on device until
+    `finalize()`/`poses()` — the throughput mode (and the only mode measured
+    by tools/bench_sharded_map.py); the default fetches per frame to return
+    an OdometryFrame, matching the single-device API.
     """
 
     def __init__(self, cfg: Config, mesh: Mesh, capacity: int = 131072,
-                 seed: int = 0, axis_name: str = "points"):
+                 seed: int = 0, axis_name: str = "points",
+                 defer_fetch: bool = False):
         lo = cfg.laser_odometry
         assert lo.target_mode == "map", "ShardedMapOdometry requires target_mode='map'"
         assert lo.matching_method.method == "IMLS", "sharded map path is IMLS-only"
@@ -102,6 +119,8 @@ class ShardedMapOdometry:
         self.frontend = _cached_frontend(cfg, capacity)
         self.seed = seed
         self._key_counter = 0
+        self._multiprocess = jax.process_count() > 1
+        self._defer = defer_fetch
 
         mp = lo.map
         per_shard = mp.capacity // self.n_shards
@@ -112,8 +131,10 @@ class ShardedMapOdometry:
         self._block_factor = max(1, round(4.0 / mp.voxel_size))
         self.store = ShardedMapStore(mesh, per_shard, axis_name=axis_name)
         self._shard_spec = NamedSharding(mesh, P(axis_name))
-        self.store.cloud = jax.device_put(
-            PointCloud.zeros(self.n_shards * per_shard), self._shard_spec)
+        self._repl = NamedSharding(mesh, P())
+        self.store.cloud = jax.jit(
+            lambda: PointCloud.zeros(self.n_shards * per_shard),
+            out_shardings=self._shard_spec)()
 
         from jax import shard_map
 
@@ -127,78 +148,135 @@ class ShardedMapOdometry:
             in_specs=(P(axis_name), P(axis_name), P()),
             out_specs=P(axis_name), check_vma=False))
 
-        @jax.jit
-        def to_world(filtered: PointCloud, wpose):
-            return dataclasses.replace(
+        # World-frame model update fused into one global program: transform
+        # the filtered cloud by the solved pose, block-partition it
+        # shard-major, and slice the insertion center — out_shardings place
+        # the partitioned cloud directly (multi-process-safe; no device_put).
+        fcap = self.frontend.filtered_capacity
+
+        def stage_insert(filtered: PointCloud, wpose):
+            world = dataclasses.replace(
                 filtered,
                 xyz=geo.transform_points(wpose, filtered.xyz),
                 normal=geo.rotate_vectors(wpose, filtered.normal))
+            part, _ = partition_cloud(world, self.n_shards, fcap,
+                                      base_cell=self._base_cell,
+                                      block_factor=self._block_factor)
+            return part, wpose[:3, 3]
 
-        self._to_world = to_world
-        self._icp = _make_candidate_icp(cfg)
-        self._world_dev = jnp.eye(4, dtype=jnp.float32)
+        self._stage_insert = jax.jit(
+            stage_insert, out_shardings=(self._shard_spec, self._repl))
+
+        # Pose algebra, device-resident (replicated): ICP init prior, the
+        # frame-relative delta (SO(3)-reprojected), and the candidate-search
+        # query positions. One fused dispatch each, no host round trips.
+        self._prior = jax.jit(lambda w, r: w @ r, out_shardings=self._repl)
+        self._rel_of = jax.jit(
+            lambda w_prev, w: (lambda rel: geo.make_se3(
+                geo.orthonormalize(rel[:3, :3]), rel[:3, 3]))(
+                geo.se3_inverse(w_prev) @ w),
+            out_shardings=self._repl)
+        self._search_prep = jax.jit(
+            lambda xyz, init: geo.transform_points(init, xyz),
+            out_shardings=self._repl)
+        self._icp = jax.jit(_make_candidate_icp(cfg),
+                            out_shardings=self._repl)
+        self._eye = jax.jit(lambda: jnp.eye(4, dtype=jnp.float32),
+                            out_shardings=self._repl)()
+
+        self._world_dev = self._eye
         self._last_rel: Optional[jnp.ndarray] = None
         self.last_filtered: Optional[PointCloud] = None
         self.prev_pose = np.eye(4)
         self.frame_count = 0
         self.trajectory: List[OdometryFrame] = []
+        self._pending: List[tuple] = []
 
     def _next_key(self):
+        # numpy (not device) keys: process-uniform host values enter every
+        # global program without a placement (threefry key = two uint32s).
         self._key_counter += 1
-        return jnp.asarray([np.uint32(self.seed), np.uint32(self._key_counter)])
+        return np.asarray([self.seed, self._key_counter], np.uint32)
 
-    def process_scan(self, raw_pts: np.ndarray) -> OdometryFrame:
+    def process_scan(self, raw_pts: np.ndarray) -> Optional[OdometryFrame]:
         lo = self.cfg.laser_odometry
         imls_cfg = lo.matching_method.imls
         fe = self.frontend.process(raw_pts, self._next_key(), self.last_filtered,
                                    first_frame=(self.frame_count == 0))
+        flat, filtered = fe.flat, fe.filtered
+        if self._multiprocess:
+            # The front-end ran process-locally (identical on every process);
+            # stage its output through host numpy so it enters the global
+            # sharded programs as a process-uniform value instead of a
+            # single-device array from a different (local) placement.
+            flat = jax.device_get(flat)
+            filtered = jax.device_get(filtered)
         if self.frame_count > 0:
             if lo.motion_prior and self._last_rel is not None:
-                init = self._world_dev @ self._last_rel
+                init = self._prior(self._world_dev, self._last_rel)
             else:
                 init = self._world_dev
             # Distributed candidate search at the init pose (freeze mode).
-            src0 = geo.transform_points(init, fe.flat.xyz)
+            src0 = self._search_prep(flat.xyz, init)
             _, cxyz, cnrm, cok, cvalid = self.store.knn_gather(
                 src0, imls_cfg.search_number, radius=imls_cfg.r)
             wpose, iters, ncorr, _ = self._icp(
-                fe.flat, cxyz, cnrm, cok, cvalid, self._next_key(), init)
-            rel = geo.se3_inverse(self._world_dev) @ wpose
-            self._last_rel = geo.make_se3(geo.orthonormalize(rel[:3, :3]), rel[:3, 3])
+                flat, cxyz, cnrm, cok, cvalid, self._next_key(), init)
+            self._last_rel = self._rel_of(self._world_dev, wpose)
             self._world_dev = wpose
         else:
-            wpose = jnp.eye(4, dtype=jnp.float32)
-            iters = ncorr = jnp.asarray(0, jnp.int32)
+            wpose = self._eye
+            iters = ncorr = jnp.zeros((), jnp.int32)
             self._world_dev = wpose
 
         # Map insertion: world-frame filtered cloud repartitioned by spatial
         # block, then per-shard voxel insertion (globally exact, see module
         # docstring).
-        world_cloud = self._to_world(fe.filtered, wpose)
-        part, _ = partition_cloud(world_cloud, self.n_shards,
-                                  self.frontend.filtered_capacity,
-                                  base_cell=self._base_cell,
-                                  block_factor=self._block_factor)
-        part = jax.device_put(part, self._shard_spec)
-        self.store.cloud = self._insert(self.store.cloud, part, wpose[:3, 3])
+        part, center = self._stage_insert(filtered, wpose)
+        self.store.cloud = self._insert(self.store.cloud, part, center)
 
-        pose = np.asarray(wpose, np.float64)
-        rel = np.linalg.inv(self.prev_pose) @ pose
-        self.prev_pose = pose
-        frame = OdometryFrame(
-            index=self.frame_count, pose=pose, rel_pose=rel,
-            iterations=int(iters), n_correspondences=int(ncorr),
-            stats={k: float(v) for k, v in fe.stats.items()})
-        self.trajectory.append(frame)
+        self._pending.append((self.frame_count, wpose, iters, ncorr, fe.stats))
         self.last_filtered = fe.filtered
         self.frame_count += 1
-        return frame
+        if self._defer:
+            return None
+        self._drain()
+        return self.trajectory[-1]
+
+    def _drain(self) -> None:
+        """Fetch all pending frames' results in one device->host transfer and
+        integrate the f64 host pose chain."""
+        if not self._pending:
+            return
+        pending, self._pending = self._pending, []
+        fetched = jax.device_get([p[1:] for p in pending])
+        for (index, *_), (wpose, iters, ncorr, stats) in zip(pending, fetched):
+            pose = np.asarray(wpose, np.float64)
+            rel = np.linalg.inv(self.prev_pose) @ pose
+            self.prev_pose = pose
+            self.trajectory.append(OdometryFrame(
+                index=index, pose=pose, rel_pose=rel,
+                iterations=int(iters), n_correspondences=int(ncorr),
+                stats={k: float(v) for k, v in stats.items()}))
+
+    def finalize(self) -> List[OdometryFrame]:
+        self._drain()
+        return self.trajectory
+
+    def sync(self) -> None:
+        """Block until dispatched device work finished, without fetching."""
+        if self._pending:
+            jax.block_until_ready(self._pending[-1][1])
+        jax.block_until_ready(self.store.cloud.xyz)
 
     def poses(self) -> np.ndarray:
+        self._drain()
         return np.stack([f.pose for f in self.trajectory])
 
     def map_points_per_device(self) -> int:
         """Max per-device map occupancy (the memory-scaling observable)."""
-        v = np.asarray(self.store.cloud.valid)
-        m = self.store.per_shard
-        return int(max(v[d * m:(d + 1) * m].sum() for d in range(self.n_shards)))
+        d, m = self.n_shards, self.store.per_shard
+        counts = jax.jit(
+            lambda v: jnp.sum(v.reshape(d, m).astype(jnp.int32), axis=1),
+            out_shardings=self._repl)(self.store.cloud.valid)
+        return int(np.asarray(counts).max())
