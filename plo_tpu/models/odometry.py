@@ -108,21 +108,45 @@ def _build_match_solve(cfg: Config):
                                             min(sv.icp.max_iterations, 30))
         elif solve_method == "Teaser":
             t = sv.teaser
-            if t.rotation_estimation_algorithm != "GNC_TLS":
-                warnings.warn(
-                    f"Teaser rotation algorithm "
-                    f"{t.rotation_estimation_algorithm!r} is not implemented; "
-                    "falling back to GNC_TLS (the reference's default; its "
-                    "FGR/QUATRO variants are gray/broken in results.png)",
-                    RuntimeWarning, stacklevel=2)
             return solve_gnc_tls(src_xyz, y, valid, t.noise_bound,
                                  t.rotation_gnc_factor,
                                  min(t.rotation_max_iterations, 64),
                                  use_max_clique=t.use_max_clique,
                                  kcore_min_fraction=t.kcore_heuristic_threshold,
                                  estimate_scaling=t.estimate_scaling,
-                                 key=key)
+                                 key=key,
+                                 algorithm=t.rotation_estimation_algorithm,
+                                 cost_threshold=t.rotation_cost_threshold)
         raise ValueError(f"invalid solve method {solve_method!r}")
+
+    # Compile-time iteration caps are a deliberate deviation (a fused
+    # while_loop unrolls its solver body; the reference's 1000-iteration
+    # defaults are convergence-test-bounded in practice) — but silently
+    # granting 30 when the config asks for 1000 is a config lie. Warn once
+    # at build.
+    if solve_method == "ICP" and sv.icp.max_iterations > 30:
+        warnings.warn(
+            f"solve_method ICP max_iterations={sv.icp.max_iterations} is "
+            "capped at 30 (the point-to-point Umeyama loop converges in <10; "
+            "the reference's own outer driver caps at iterations=30)",
+            RuntimeWarning, stacklevel=2)
+    if (solve_method == "Teaser" and sv.teaser.rotation_max_iterations > 64
+            and sv.teaser.rotation_cost_threshold <= 0.0):
+        # With the cost-convergence test active (the reference ships
+        # rotation_cost_threshold=0.005 next to max_iterations=1000), the GNC
+        # loop stops itself long before 64; the cap only binds when the
+        # threshold is disabled.
+        warnings.warn(
+            f"Teaser rotation_max_iterations={sv.teaser.rotation_max_iterations} "
+            "is capped at 64 and rotation_cost_threshold is disabled; set a "
+            "positive rotation_cost_threshold for cost-converged termination",
+            RuntimeWarning, stacklevel=2)
+    if solve_method == "Teaser" and sv.teaser.rotation_estimation_algorithm \
+            not in ("GNC_TLS", "FGR", "QUATRO"):
+        raise ValueError(
+            f"unknown Teaser rotation_estimation_algorithm "
+            f"{sv.teaser.rotation_estimation_algorithm!r} (solver.h:51-62 "
+            "accepts GNC_TLS | FGR | QUATRO)")
 
     def prepare_target(target: PointCloud):
         """Per-frame target-normal preparation (the get_normals=false path

@@ -285,13 +285,16 @@ class FrontEnd:
     # ------------------------------------------------------------------
     def _grid_dirs(self):
         """Unit ray directions [H, W, 3] + per-ring cos(elevation) [H, 1] for
-        the grid16 raster (beam table = the sensor model the reference's ring
-        formulas encode; azimuth = clockwise from +x per column, the -atan2
-        convention of scan_registration.cpp:901)."""
-        from plo_tpu.io.synthetic import hdl64_vertical_angles
+        the grid16 raster (azimuth = clockwise from +x per column, the -atan2
+        convention of scan_registration.cpp:901).
 
-        elev = jnp.deg2rad(jnp.asarray(hdl64_vertical_angles(self.height),
-                                       jnp.float32))             # [H]
+        The elevation table is ring_elevation_table — exactly the ring model
+        the rasterizer BINNED with (the 27-entry VLP-32C quirk table for 32
+        beams, not the physical 32-beam sensor model): packing and
+        reconstruction must invert the same map (tests/test_odometry.py::
+        test_grid16_16_and_32_beam_e2e)."""
+        elev = jnp.deg2rad(jnp.asarray(
+            pre_ops.ring_elevation_table(self.height)))          # [H]
         az = -2.0 * jnp.pi * jnp.arange(self.width, dtype=jnp.float32) / self.width
         cos_e = jnp.cos(elev)[:, None]
         dirs = jnp.stack([

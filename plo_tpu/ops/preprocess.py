@@ -44,6 +44,33 @@ VLP32C_ANGLES = np.array(
 )
 
 
+def ring_elevation_table(n_scans: int) -> np.ndarray:
+    """Ring/row index -> beam elevation (degrees) of the ring model every
+    binning path uses (`assign_rings`, native rasterize_grid16 and its numpy
+    fallback) — THE single source of truth for grid16 xyz reconstruction
+    (models/pipeline.py::_grid_dirs must invert exactly the model the
+    rasterizer binned with, or reconstructed elevations are wrong).
+
+    16: -15 + 2k (the VLP-16 formula inverse, scan_registration.cpp:948-958);
+    32: the reference's 27-entry VLP-32C quirk table
+        (scan_registration.cpp:960-964) padded to 32 rows — rings 27..31 are
+        NEVER produced by ring assignment (argmin over 27 entries), so those
+        grid16 rows stay empty; the pad values only keep the array shape;
+    64: the HDL-64 piecewise formula inverse (scan_registration.cpp:990-1003);
+        rings 51..63 are discarded as outliers and stay empty.
+    """
+    if n_scans == 16:
+        return (-15.0 + 2.0 * np.arange(16)).astype(np.float32)
+    if n_scans == 32:
+        pad = VLP32C_ANGLES[-1] + 0.333 * (1 + np.arange(32 - len(VLP32C_ANGLES)))
+        return np.concatenate([VLP32C_ANGLES, pad.astype(np.float32)])
+    if n_scans == 64:
+        upper = 2.0 - np.arange(32) / 3.0
+        lower = -8.83 - np.arange(32) / 2.0
+        return np.concatenate([upper, lower]).astype(np.float32)
+    raise ValueError(f"unsupported n_scans {n_scans}")
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class RingCloud:

