@@ -57,6 +57,23 @@ class SyntheticWorld:
         return SyntheticWorld(boxes=boxes.astype(np.float64))
 
     @staticmethod
+    def planetary(seed: int = 0, n_rocks: int = 8, extent: float = 50.0,
+                  rock_size: Tuple[float, float] = (0.3, 1.0)) -> "SyntheticWorld":
+        """Sparse planetary terrain (the reference's target domain,
+        README.md:77,127): a flat ground plane with a handful of sub-meter
+        rocks. Nearly every surface normal is +z, so point-to-plane
+        constraints pin only {z, roll, pitch}; x/y/yaw are degenerate up to
+        the few rock returns — the regime DRPM (solver.cpp:486-603) exists
+        for. tests/test_planetary.py drives the full pipeline through it."""
+        rng = np.random.default_rng(seed)
+        cx = rng.uniform(2.0, extent, n_rocks)
+        cy = rng.uniform(-extent * 0.3, extent * 0.3, n_rocks)
+        s = rng.uniform(rock_size[0], rock_size[1], n_rocks)
+        boxes = np.stack([cx - s / 2, cy - s / 2, np.zeros(n_rocks),
+                          cx + s / 2, cy + s / 2, s * 0.8], axis=1)
+        return SyntheticWorld(boxes=boxes.astype(np.float64))
+
+    @staticmethod
     def around_path(path_xy: np.ndarray, seed: int = 0, n_boxes: int = 120,
                     clearance: float = 6.0, spread: float = 35.0) -> "SyntheticWorld":
         """Boxes scattered around an arbitrary trajectory with a guaranteed
