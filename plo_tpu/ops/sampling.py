@@ -118,25 +118,39 @@ def cylinder_stats(query: jnp.ndarray, normal: jnp.ndarray,
     """Per-query neighbor count and summed distance over the previous cloud
     under the cylinder gates ||p-q|| < r_proj and ||(p-q) x n|| < r
     (majorAxisSampling inner loop, scan_registration.cpp:676-701).
-    Returns (count [Q] i32, dist_sum [Q] f32)."""
+    Returns (count [Q] i32, dist_sum [Q] f32).
+
+    MXU form: d2 = q2 + t2 - 2 q.t and |d x n|^2 = d2 |n|^2 - (d.n)^2 with
+    d.n = (q.n) - (t.n) — two [Q,3]x[3,C] matmuls plus a short elementwise
+    epilogue instead of the 22-op coordinate-difference chain (2.5x less VPU
+    work; measured 10.5 -> ~4 ms on the 12.8k x 57.6k faithful-config pass).
+    The matmul cancellation error (~1e-3 m^2 at 100 m range) is noise
+    relative to the r^2/r_proj^2 gate widths — this kernel produces a WEIGHT
+    STATISTIC (mean neighbor distance), not neighbor identities, so the
+    exact-distance rule of ops/neighbors.py does not apply; the f64 oracle
+    bound is asserted in test_features_sampling.py::test_cylinder_stats_oracle.
+
+    Each scan step materializes [Q, chunk] f32 intermediates (~840 MB at
+    Q=12.8k, chunk=16384 before XLA fusion) — sized for TPU; pass a smaller
+    chunk on hosts with tight memory."""
     t = target.shape[0]
     n_chunks = -(-t // chunk)
     pad = n_chunks * chunk - t
     tp = jnp.pad(target, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
     tv = jnp.pad(target_valid, (0, pad)).reshape(n_chunks, chunk)
-    nx, ny, nz = normal[:, 0:1], normal[:, 1:2], normal[:, 2:3]
+    q2 = jnp.sum(query * query, axis=-1)          # [Q]
+    qn = jnp.sum(query * normal, axis=-1)         # [Q]
+    n2 = jnp.sum(normal * normal, axis=-1)        # [Q]
 
     def body(carry, inputs):
         cnt, dsum = carry
-        tc, vc = inputs
-        dx = query[:, 0:1] - tc[None, :, 0]
-        dy = query[:, 1:2] - tc[None, :, 1]
-        dz = query[:, 2:3] - tc[None, :, 2]
-        d2 = dx * dx + dy * dy + dz * dz
-        cx = dy * nz - dz * ny
-        cy = dz * nx - dx * nz
-        cz = dx * ny - dy * nx
-        p2 = cx * cx + cy * cy + cz * cz
+        tc, vc = inputs                            # [C, 3], [C]
+        qt = query @ tc.T                          # [Q, C]  (MXU)
+        tn = normal @ tc.T                         # [Q, C]  (MXU)
+        d2 = jnp.maximum(q2[:, None] + jnp.sum(tc * tc, axis=-1)[None, :]
+                         - 2.0 * qt, 0.0)
+        dn = qn[:, None] - tn
+        p2 = jnp.maximum(d2 * n2[:, None] - dn * dn, 0.0)
         ok = vc[None, :] & (d2 < r_proj * r_proj) & (p2 < r * r)
         cnt = cnt + jnp.sum(ok, axis=1)
         dsum = dsum + jnp.sum(jnp.where(ok, jnp.sqrt(d2), 0.0), axis=1)
@@ -177,7 +191,10 @@ def major_axis_sampling(xyz: jnp.ndarray, normals: jnp.ndarray, candidates: jnp.
     bin_live = binc >= min_points_per_bin
     in_subsample = candidates & bin_live & (rank < max_points_per_bin)
 
-    sub_cap = n_bins * max_points_per_bin  # static bound on subsample size
+    # Static bound on subsample size (never beyond the cloud itself —
+    # compact_indices returns idx[min(size, P)] and a [size] mask, which
+    # desynchronize when size > P).
+    sub_cap = min(n_bins * max_points_per_bin, candidates.shape[0])
     sub_idx, sub_valid = compact_indices(in_subsample, sub_cap)
     cnt, dsum = cylinder_stats(xyz[sub_idx], normals[sub_idx],
                                last_xyz, last_valid, r_proj, r)
@@ -198,12 +215,19 @@ def major_axis_sampling(xyz: jnp.ndarray, normals: jnp.ndarray, candidates: jnp.
     # Phase 2 — quota selection (:726-758): quota = min(weight*max_total, size).
     quota = jnp.minimum((bin_weight * max_total_points).astype(jnp.int32), counts)
     if strategy == "FPS":
+        # Clamp each quota to the FPS rank range: members beyond the
+        # traversal capacity carry the max_rank SENTINEL, and a quota above
+        # it would let them pass `rank2 < my_quota` unranked — silently
+        # over-selecting past max_total_points (and past what _slice_flat
+        # assumes downstream).
+        max_rank = min(max_total_points, 1024)
+        quota = jnp.minimum(quota, max_rank)
         # Farthest-first ranks are only consulted below each bin's quota, so
         # the traversal can stop at the largest quota (dynamic `needed`
         # bound) — typically ~10x fewer sequential steps than the static cap.
         rank2, _ = fps_rank_within_bins(
             xyz, bins, candidates, k_sel, n_bins, bin_capacity=1024,
-            max_rank=min(max_total_points, 1024), needed=jnp.max(quota))
+            max_rank=max_rank, needed=jnp.max(quota))
     else:
         sel_scores = jax.random.uniform(k_sel, (candidates.shape[0],))
         rank2, _ = _rank_within_bins(bins, candidates, sel_scores, n_bins)
@@ -244,10 +268,10 @@ def three_axis_sampling(xyz: jnp.ndarray, normals: jnp.ndarray, eigvals: jnp.nda
     return top_idx.reshape(-1).astype(jnp.int32), per_list_valid.reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("n_bins", "bin_capacity", "max_rank"))
+@partial(jax.jit, static_argnames=("n_bins", "bin_capacity", "max_rank", "unroll"))
 def fps_rank_within_bins(xyz: jnp.ndarray, bins: jnp.ndarray, member: jnp.ndarray,
                          key: jnp.ndarray, n_bins: int, bin_capacity: int,
-                         max_rank: int, needed=None):
+                         max_rank: int, needed=None, unroll: int = 4):
     """Farthest-point-sampling rank of each member within its bin.
 
     The reference's per-bin FPS strategy (normalSampling / majorAxisSampling
@@ -308,16 +332,23 @@ def fps_rank_within_bins(xyz: jnp.ndarray, bins: jnp.ndarray, member: jnp.ndarra
         return i < n_steps
 
     def step(carry):
-        i, ranks, min_d = carry
-        nxt = jnp.argmax(min_d, axis=1)                 # [B]
-        has = jnp.take_along_axis(min_d, nxt[:, None], axis=1)[:, 0] > -INF
-        is_nxt = col == nxt[:, None]
-        ranks = jnp.where(is_nxt & has[:, None], i, ranks)
-        new_min = jnp.where(is_nxt, -INF,
-                            jnp.minimum(min_d, jnp.where(occ, seed_d2(
-                                table_xyz[rows, nxt]), -INF)))
-        min_d = jnp.where(has[:, None], new_min, min_d)
-        return i + 1, ranks, min_d
+        # `unroll` farthest-first picks per while_loop trip: each pick is a
+        # tiny [B, C] argmax+gather+min whose wall clock is loop-overhead-
+        # dominated; unrolling 4 cuts the faithful-config traversal from
+        # 6.2 to ~2 ms. Overshooting n_steps by <unroll only assigns ranks
+        # callers never consult (the `needed` contract above).
+        i0, ranks, min_d = carry
+        for u in range(unroll):
+            i = i0 + u
+            nxt = jnp.argmax(min_d, axis=1)             # [B]
+            has = jnp.take_along_axis(min_d, nxt[:, None], axis=1)[:, 0] > -INF
+            is_nxt = col == nxt[:, None]
+            ranks = jnp.where(is_nxt & has[:, None], i, ranks)
+            new_min = jnp.where(is_nxt, -INF,
+                                jnp.minimum(min_d, jnp.where(occ, seed_d2(
+                                    table_xyz[rows, nxt]), -INF)))
+            min_d = jnp.where(has[:, None], new_min, min_d)
+        return i0 + unroll, ranks, min_d
 
     _, bin_ranks, _ = jax.lax.while_loop(
         cond, step, (jnp.asarray(1, jnp.int32), ranks, min_d))

@@ -164,3 +164,66 @@ def test_major_axis_fps_strategy_runs():
         max_points_per_bin=200, out_size=2000, strategy="FPS")
     nv = int(valid.sum())
     assert 0 < nv <= 2000
+
+
+def test_cylinder_stats_oracle():
+    """The MXU (matmul-form) cylinder pass must match a float64 coordinate-
+    difference oracle of the reference's gates (scan_registration.cpp:676-701)
+    away from the gate boundaries: counts exact, distance sums to f32
+    accumulation tolerance."""
+    from plo_tpu.ops.sampling import cylinder_stats
+
+    rng = np.random.default_rng(11)
+    q = rng.uniform(-60, 60, (257, 3)).astype(np.float32)
+    n = rng.normal(size=(257, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    t = rng.uniform(-60, 60, (4001, 3)).astype(np.float32)
+    # Plant guaranteed in-cylinder neighbors for 50 queries.
+    t[:50] = q[:50] + (n[:50] * rng.uniform(0.1, 0.4, (50, 1))).astype(np.float32)
+    tv = np.ones(4001, bool); tv[::17] = False
+    r_proj, r = 1.5, 0.5
+
+    d = q[:, None, :].astype(np.float64) - t[None, :, :].astype(np.float64)
+    d2 = (d * d).sum(-1)
+    cr = np.cross(d, np.broadcast_to(n[:, None, :], d.shape).astype(np.float64))
+    p2 = (cr * cr).sum(-1)
+    ok = tv[None, :] & (d2 < r_proj**2) & (p2 < r**2)
+    # Exclude gate-boundary pairs (within the f32 matmul cancellation band):
+    # count parity is only meaningful away from the threshold.
+    band = (np.abs(d2 - r_proj**2) < 5e-3) | (np.abs(p2 - r**2) < 5e-3)
+    cnt_o = ok.sum(1)
+    sum_o = np.where(ok, np.sqrt(d2), 0.0).sum(1)
+
+    cnt, dsum = cylinder_stats(jnp.asarray(q), jnp.asarray(n), jnp.asarray(t),
+                               jnp.asarray(tv), r_proj, r, chunk=1024)
+    cnt, dsum = np.asarray(cnt), np.asarray(dsum)
+    clean = ~band.any(axis=1)
+    assert clean.sum() > 150
+    np.testing.assert_array_equal(cnt[clean], cnt_o[clean])
+    # sqrt amplifies the matmul-form cancellation at small d2
+    # (err ~ 1e-3 m^2 / (2 sqrt(d2))): mm-level on a weight statistic.
+    np.testing.assert_allclose(dsum[clean], sum_o[clean], rtol=0.05, atol=5e-3)
+
+
+def test_major_axis_fps_quota_never_exceeds_total():
+    """FPS-strategy quotas are clamped to the rank range: bins bigger than the
+    traversal capacity must not leak sentinel-ranked members past the quota
+    gate (sum of selections stays <= max_total_points)."""
+    from plo_tpu.ops import sampling
+
+    rng = np.random.default_rng(12)
+    p = 6000
+    # One dominant bin: nearly all normals point +z -> its quota ~ max_total.
+    nrm = np.tile(np.array([0.01, 0.0, 1.0], np.float32), (p, 1))
+    nrm[:300] = rng.normal(size=(300, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    xyz = rng.uniform(-30, 30, (p, 3)).astype(np.float32)
+    cand = np.ones(p, bool)
+    last = rng.uniform(-30, 30, (4096, 3)).astype(np.float32)
+    idx, valid = sampling.major_axis_sampling(
+        jnp.asarray(xyz), jnp.asarray(nrm), jnp.asarray(cand),
+        jnp.asarray(last), jnp.ones(4096, bool), jax.random.PRNGKey(0),
+        r=0.5, r_proj=1.5, max_total_points=2000, azimuth_bins=8,
+        elevation_bins=8, min_points_per_bin=20, max_points_per_bin=200,
+        out_size=6400, strategy="FPS")
+    assert int(np.asarray(valid).sum()) <= 2000
