@@ -115,6 +115,22 @@ def _window_gather(cloud: RingCloud, packed: jnp.ndarray, center_flat: jnp.ndarr
     return rows[..., :3], ok  # [P, Wn, 3], [P, Wn]
 
 
+def _window_shift(cloud: RingCloud, packed: jnp.ndarray,
+                  center_ok: jnp.ndarray, window_size: int, iter_step: int):
+    """Self-window variant of _window_gather: the centers are the points
+    themselves, so window slots are CONSECUTIVE flat indices and each offset
+    is a shifted copy of the packed array (contiguous vector copies) instead
+    of a random-access row gather — TPU gathers are the slow path."""
+    p = cloud.capacity
+    offs = list(range(-window_size, window_size + 1, iter_step))
+    idx = jnp.arange(p, dtype=jnp.int32)[:, None] + jnp.asarray(offs, jnp.int32)[None, :]
+    rows = jnp.stack([jnp.roll(packed, -o, axis=0) for o in offs], axis=1)
+    same_ring = rows[..., 3] == packed[:, None, 3]
+    in_bounds = (idx >= 0) & (idx < p)  # roll wraps; mask the wrapped slots
+    ok = center_ok[:, None] & same_ring & in_bounds & (rows[..., 4] > 0.5)
+    return rows[..., :3], ok
+
+
 @partial(jax.jit, static_argnames=("window_size", "iter_step", "neighbor_scan",
                                    "use_all_points"))
 def _pca_impl(cloud: RingCloud, window_size: int, iter_step: int,
@@ -131,7 +147,7 @@ def _pca_impl(cloud: RingCloud, window_size: int, iter_step: int,
     dn_flat, dn_ok = _adjacent_ring_index(cloud, +1, neighbor_scan, knn_distance_threshold)
 
     packed = _packed_points(cloud)
-    p0, m0 = _window_gather(cloud, packed, self_idx, eligible, window_size, iter_step)
+    p0, m0 = _window_shift(cloud, packed, eligible, window_size, iter_step)
     p1, m1 = _window_gather(cloud, packed, up_flat, up_ok & eligible, window_size, iter_step)
     p2, m2 = _window_gather(cloud, packed, dn_flat, dn_ok & eligible, window_size, iter_step)
 

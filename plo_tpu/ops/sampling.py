@@ -120,37 +120,38 @@ def cylinder_stats(query: jnp.ndarray, normal: jnp.ndarray,
     (majorAxisSampling inner loop, scan_registration.cpp:676-701).
     Returns (count [Q] i32, dist_sum [Q] f32).
 
-    MXU form: d2 = q2 + t2 - 2 q.t and |d x n|^2 = d2 |n|^2 - (d.n)^2 with
-    d.n = (q.n) - (t.n) — two [Q,3]x[3,C] matmuls plus a short elementwise
-    epilogue instead of the 22-op coordinate-difference chain (2.5x less VPU
-    work; measured 10.5 -> ~4 ms on the 12.8k x 57.6k faithful-config pass).
-    The matmul cancellation error (~1e-3 m^2 at 100 m range) is noise
-    relative to the r^2/r_proj^2 gate widths — this kernel produces a WEIGHT
-    STATISTIC (mean neighbor distance), not neighbor identities, so the
-    exact-distance rule of ops/neighbors.py does not apply; the f64 oracle
-    bound is asserted in test_features_sampling.py::test_cylinder_stats_oracle.
+    Form note (measured on the chip, 12.8k x 57.6k): the coordinate-
+    difference chain FUSES into one XLA loop (no [Q, C] materialization);
+    rewriting d2/p2 as [Q,3]x[3,C] matmuls measured 2.3x SLOWER (24.6 vs
+    10.5 ms) because dot outputs cannot fuse into their epilogue — two
+    [Q, C] f32 tensors round-trip HBM per chunk. The one algebraic win that
+    survives fusion is |d x n|^2 = d2 |n|^2 - (d.n)^2 (8 ops vs the 14-op
+    cross product). Its cancellation error (~1e-3 m^2) is noise against the
+    r^2 gate widths — this kernel produces a WEIGHT STATISTIC (mean neighbor
+    distance), not neighbor identities, so the exact-distance rule of
+    ops/neighbors.py does not apply; the f64 oracle bound is asserted in
+    test_features_sampling.py::test_cylinder_stats_oracle.
 
-    Each scan step materializes [Q, chunk] f32 intermediates (~840 MB at
-    Q=12.8k, chunk=16384 before XLA fusion) — sized for TPU; pass a smaller
-    chunk on hosts with tight memory."""
+    Each scan step builds [Q, chunk] f32 intermediates (~840 MB at Q=12.8k,
+    chunk=16384 before XLA fusion) — sized for TPU; pass a smaller chunk on
+    hosts with tight memory."""
     t = target.shape[0]
     n_chunks = -(-t // chunk)
     pad = n_chunks * chunk - t
     tp = jnp.pad(target, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
     tv = jnp.pad(target_valid, (0, pad)).reshape(n_chunks, chunk)
-    q2 = jnp.sum(query * query, axis=-1)          # [Q]
-    qn = jnp.sum(query * normal, axis=-1)         # [Q]
+    nx, ny, nz = normal[:, 0:1], normal[:, 1:2], normal[:, 2:3]
     n2 = jnp.sum(normal * normal, axis=-1)        # [Q]
 
     def body(carry, inputs):
         cnt, dsum = carry
         tc, vc = inputs                            # [C, 3], [C]
-        qt = query @ tc.T                          # [Q, C]  (MXU)
-        tn = normal @ tc.T                         # [Q, C]  (MXU)
-        d2 = jnp.maximum(q2[:, None] + jnp.sum(tc * tc, axis=-1)[None, :]
-                         - 2.0 * qt, 0.0)
-        dn = qn[:, None] - tn
-        p2 = jnp.maximum(d2 * n2[:, None] - dn * dn, 0.0)
+        dx = query[:, 0:1] - tc[None, :, 0]
+        dy = query[:, 1:2] - tc[None, :, 1]
+        dz = query[:, 2:3] - tc[None, :, 2]
+        d2 = dx * dx + dy * dy + dz * dz
+        dn = dx * nx + dy * ny + dz * nz
+        p2 = d2 * n2[:, None] - dn * dn
         ok = vc[None, :] & (d2 < r_proj * r_proj) & (p2 < r * r)
         cnt = cnt + jnp.sum(ok, axis=1)
         dsum = dsum + jnp.sum(jnp.where(ok, jnp.sqrt(d2), 0.0), axis=1)
@@ -271,7 +272,7 @@ def three_axis_sampling(xyz: jnp.ndarray, normals: jnp.ndarray, eigvals: jnp.nda
 @partial(jax.jit, static_argnames=("n_bins", "bin_capacity", "max_rank", "unroll"))
 def fps_rank_within_bins(xyz: jnp.ndarray, bins: jnp.ndarray, member: jnp.ndarray,
                          key: jnp.ndarray, n_bins: int, bin_capacity: int,
-                         max_rank: int, needed=None, unroll: int = 4):
+                         max_rank: int, needed=None, unroll: int = 1):
     """Farthest-point-sampling rank of each member within its bin.
 
     The reference's per-bin FPS strategy (normalSampling / majorAxisSampling
@@ -332,11 +333,12 @@ def fps_rank_within_bins(xyz: jnp.ndarray, bins: jnp.ndarray, member: jnp.ndarra
         return i < n_steps
 
     def step(carry):
-        # `unroll` farthest-first picks per while_loop trip: each pick is a
-        # tiny [B, C] argmax+gather+min whose wall clock is loop-overhead-
-        # dominated; unrolling 4 cuts the faithful-config traversal from
-        # 6.2 to ~2 ms. Overshooting n_steps by <unroll only assigns ranks
-        # callers never consult (the `needed` contract above).
+        # `unroll` farthest-first picks per while_loop trip. Measured on the
+        # chip: unroll=4 was NOT faster (7.2 vs 6.2 ms at needed=200) — the
+        # steps are bound by their [B, C] math, not loop overhead — so the
+        # default stays 1; the knob remains for other shapes. Overshooting
+        # n_steps by <unroll only assigns ranks callers never consult (the
+        # `needed` contract above).
         i0, ranks, min_d = carry
         for u in range(unroll):
             i = i0 + u
