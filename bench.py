@@ -42,10 +42,32 @@ def _cached_sequence(n_frames, **kw):
     return scans, gt
 
 
+def _measure(cfg, scans, transfer, batch, n_windows, window, n_warm):
+    """Warm (compile + frame 0 + one batch), then median of independent
+    steady-state windows: the remote TPU tunnel's throughput jitters by
+    +-20%, and the first H2D after finalize()'s D2H pays a ~100 ms
+    link-turnaround stall — sync() (no fetch) bounds each window instead."""
+    from plo_tpu.models import Odometry
+
+    odo = Odometry(cfg, capacity=57600, seed=0, async_mode=True,
+                   transfer=transfer)
+    odo.process_scans(scans[:n_warm], batch=batch)
+    odo.finalize()
+    rates = []
+    i = n_warm
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        odo.process_scans(scans[i:i + window], batch=batch)
+        odo.sync()
+        rates.append(window / (time.perf_counter() - t0))
+        i += window
+    odo.finalize()
+    return sorted(rates)[n_windows // 2]
+
+
 def main():
     from plo_tpu import config as cfgmod
     from plo_tpu.io import synthetic
-    from plo_tpu.models import Odometry
 
     cfg = cfgmod.Config(
         scan_registration=cfgmod.ScanRegistrationConfig(
@@ -83,38 +105,36 @@ def main():
         n_warm + n_windows * window, n_scans=64, azimuth_steps=900, speed=0.5,
         yaw_rate=0.005, seed=11, world=world)
 
-    # Capacity = the HDL-64x900 grid size (the sensor can't return more);
-    # 64*900 = 57600 = 225*256 keeps lane-aligned tiling. transfer="grid16"
-    # ships each scan as the [64, 900] uint16 range raster the sensor fires
-    # on (115 KB/scan vs 345 KB int16 xyz — the remote tunnel's H2D is the
-    # wall-clock wall under bad link conditions) and removes the on-device
-    # ring-assignment/rasterization stage entirely; trajectory equal to the
-    # int16 path to the quantizer floor (tests/test_odometry.py::
-    # test_grid16_transfer_trajectory).
-    odo = Odometry(cfg, capacity=57600, seed=0, async_mode=True, transfer="grid16")
-    odo.process_scans(scans[:n_warm], batch=batch)  # frame 0 + one full batch (compiles)
-    odo.finalize()
+    # Dual headline (VERDICT r3 task 2). Capacity = the HDL-64x900 grid size
+    # (the sensor can't return more); 64*900 = 57600 = 225*256 keeps
+    # lane-aligned tiling.
+    #
+    # * grid16 ships each scan as the [64, 900] uint16 range raster the
+    #   sensor fires on (115 KB/scan vs 345 KB int16 xyz — the remote
+    #   tunnel's H2D is the wall-clock wall under bad link conditions) and
+    #   removes the on-device ring-assignment/rasterization stage entirely.
+    #   It snaps returns onto the NOMINAL beam rays, so it is exact only for
+    #   raster-aligned sensors; under KITTI-like +-0.15 deg beam-elevation
+    #   error its ATE penalty measures < 2 cm (tests/test_odometry.py::
+    #   test_grid16_beam_perturbation_honesty) — honest but synthetic-
+    #   flattering, so it is reported as the separate line, not the headline.
+    # * int16 ships real per-point xyz (5 mm fixed-point) — the number a real
+    #   sensor's arbitrary point stream can hit; this is the headline
+    #   scans_per_sec_1chip (printed LAST so the driver records it).
+    grid16 = _measure(cfg, scans, "grid16", batch, n_windows, window, n_warm)
+    print(json.dumps({
+        "metric": "scans_per_sec_1chip_grid16",
+        "value": round(grid16, 3),
+        "unit": "scans/s",
+        "vs_baseline": round(grid16 / 10.0, 3),
+    }), flush=True)
 
-    # Median of independent steady-state windows: the remote TPU tunnel's
-    # throughput jitters by +-20%, and the first H2D after finalize()'s D2H
-    # pays a ~100 ms link-turnaround stall — sync() (no fetch) bounds each
-    # window instead.
-    rates = []
-    i = n_warm
-    for _ in range(n_windows):
-        t0 = time.perf_counter()
-        odo.process_scans(scans[i:i + window], batch=batch)
-        odo.sync()
-        rates.append(window / (time.perf_counter() - t0))
-        i += window
-    odo.finalize()
-
-    scans_per_sec = sorted(rates)[n_windows // 2]
+    int16 = _measure(cfg, scans, "int16", batch, n_windows, window, n_warm)
     print(json.dumps({
         "metric": "scans_per_sec_1chip",
-        "value": round(scans_per_sec, 3),
+        "value": round(int16, 3),
         "unit": "scans/s",
-        "vs_baseline": round(scans_per_sec / 10.0, 3),
+        "vs_baseline": round(int16 / 10.0, 3),
     }))
 
 

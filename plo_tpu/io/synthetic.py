@@ -138,15 +138,24 @@ def render_scan(
     max_range: float = 120.0,
     noise_std: float = 0.01,
     seed: int = 0,
+    elev_offsets_deg: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Render one scan as [N, 4] float32 in the sensor frame (KITTI-style).
 
     `pose` is the 4x4 sensor-to-world transform. Point order is firing-major:
     azimuth sweep starting at +x going clockwise (matching KITTI's -atan2
     azimuth convention in scan_registration.cpp:901), all beams per firing.
+
+    `elev_offsets_deg` [n_scans]: per-beam elevation deviation from the nominal
+    ring table — real sensors (KITTI's HDL-64) fire up to ~0.15 deg off the
+    nominal elevations, which the grid16 transport cannot represent (its
+    reconstruction snaps every return onto the nominal ray); used to quantify
+    that transport's geometric error honestly (BASELINE.md).
     """
     rng = np.random.default_rng(seed)
     elev = np.deg2rad(hdl64_vertical_angles(n_scans))  # [H]
+    if elev_offsets_deg is not None:
+        elev = elev + np.deg2rad(np.asarray(elev_offsets_deg, np.float64))
     azim = -2.0 * np.pi * np.arange(azimuth_steps) / azimuth_steps  # clockwise sweep
 
     az, el = np.meshgrid(azim, elev, indexing="ij")  # [A, H]
@@ -250,6 +259,7 @@ def synthetic_sequence(
     sensor_height: float = 1.7,
     seed: int = 0,
     world: Optional[SyntheticWorld] = None,
+    elev_offsets_deg: Optional[np.ndarray] = None,
 ) -> Tuple[List[np.ndarray], np.ndarray]:
     """Generate a sequence of scans plus ground-truth poses [n_frames, 4, 4].
 
@@ -273,7 +283,7 @@ def synthetic_sequence(
         world = SyntheticWorld.around_path(poses[:, :2, 3], seed=seed)
     scans = [
         render_scan(world, poses[i], n_scans=n_scans, azimuth_steps=azimuth_steps,
-                    seed=seed + i)
+                    seed=seed + i, elev_offsets_deg=elev_offsets_deg)
         for i in range(n_frames)
     ]
     return scans, poses

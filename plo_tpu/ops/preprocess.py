@@ -184,14 +184,32 @@ def _preprocess_impl(pts: jnp.ndarray, n_valid: jnp.ndarray, n_scans: int,
 
     ring_u = jnp.where(valid, ring, n_scans)
     if sort:
-        # Stable sort by ring (padding slots -> ring n_scans, sorted last);
-        # within a ring, arrival order is preserved — identical to the
-        # reference's per-ring push_back + concatenation order.
-        order = jnp.argsort(ring_u, stable=True)
-        xyz_s = xyz[order]
-        ring_s = ring_u[order]
-        rel_s = rel_time[order]
-        valid_s = valid[order]
+        # Stable COUNTING sort by ring (padding slots -> ring n_scans, sorted
+        # last); within a ring, arrival order is preserved — identical to the
+        # reference's per-ring push_back + concatenation order. The key space
+        # is tiny (n_scans+1), so rank-within-ring is one [n_scans+1, P]
+        # cumsum and the reorder is ONE packed scatter to a permutation of
+        # [0, P) — ~5x cheaper than the general argsort + per-array gathers
+        # it replaces (TPU comparison sorts and gathers are the slow path).
+        h1 = n_scans + 1
+        onehot = (jnp.arange(h1, dtype=jnp.int32)[:, None] == ring_u[None, :])
+        csum = jnp.cumsum(onehot.astype(jnp.int32), axis=1)     # [h1, P]
+        pos = jnp.take_along_axis(
+            csum, ring_u[None, :].astype(jnp.int32), axis=0)[0] - 1  # [P]
+        counts_full = csum[:, -1]                               # [h1]
+        starts_full = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_full)[:-1]])
+        dest = starts_full[ring_u] + pos   # a permutation of [0, P)
+        payload = jnp.concatenate(
+            [xyz, rel_time[:, None], ring_u[:, None].astype(jnp.float32),
+             valid[:, None].astype(jnp.float32),
+             pos[:, None].astype(jnp.float32)], axis=1)
+        packed = jnp.zeros((p, 7), jnp.float32).at[dest].set(payload)
+        xyz_s = packed[:, :3]
+        rel_s = packed[:, 3]
+        ring_s = packed[:, 4].astype(jnp.int32)
+        valid_s = packed[:, 5] > 0.5
+        pos_sorted = packed[:, 6].astype(jnp.int32)
     else:
         # Arrival-order layout: consumers that only rasterize (the range-image
         # paths) never index by ring position, so the 65k argsort + gathers
@@ -201,7 +219,7 @@ def _preprocess_impl(pts: jnp.ndarray, n_valid: jnp.ndarray, n_scans: int,
     ring_count = jnp.bincount(ring_u, length=n_scans + 1)[:n_scans]
     ring_start = jnp.concatenate([jnp.zeros((1,), ring_count.dtype), jnp.cumsum(ring_count)[:-1]])
     if sort:
-        pos_in_ring = jnp.arange(p) - ring_start[jnp.clip(ring_s, 0, n_scans - 1)]
+        pos_in_ring = pos_sorted
     else:
         pos_in_ring = jnp.zeros((p,), jnp.int32)
 

@@ -114,7 +114,7 @@ def normal_sampling(normals: jnp.ndarray, candidates: jnp.ndarray, key: jnp.ndar
 @partial(jax.jit, static_argnames=("chunk",))
 def cylinder_stats(query: jnp.ndarray, normal: jnp.ndarray,
                    target: jnp.ndarray, target_valid: jnp.ndarray,
-                   r_proj: float, r: float, chunk: int = 16384):
+                   r_proj: float, r: float, chunk: int = 4096):
     """Per-query neighbor count and summed distance over the previous cloud
     under the cylinder gates ||p-q|| < r_proj and ||(p-q) x n|| < r
     (majorAxisSampling inner loop, scan_registration.cpp:676-701).
@@ -197,8 +197,11 @@ def major_axis_sampling(xyz: jnp.ndarray, normals: jnp.ndarray, candidates: jnp.
     # desynchronize when size > P).
     sub_cap = min(n_bins * max_points_per_bin, candidates.shape[0])
     sub_idx, sub_valid = compact_indices(in_subsample, sub_cap)
+    # chunk=16384 measured fastest on the chip at this 12.8k x 57.6k shape;
+    # the conservative 4096 default protects CPU/small-host callers (each
+    # scan-body intermediate is [Q, chunk] f32 before XLA fusion).
     cnt, dsum = cylinder_stats(xyz[sub_idx], normals[sub_idx],
-                               last_xyz, last_valid, r_proj, r)
+                               last_xyz, last_valid, r_proj, r, chunk=16384)
     has3 = sub_valid & (cnt >= 3)
     avg_dist = jnp.where(has3, dsum / jnp.maximum(cnt, 1).astype(jnp.float32), 0.0)
 

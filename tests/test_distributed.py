@@ -75,7 +75,11 @@ def test_two_process_sharded_map_matches_single_process(tmp_path):
     logs = []
     try:
         for p in procs:
-            stdout, _ = p.communicate(timeout=420)
+            # Generous timeout: the pair finishes in ~35 s alone, but under
+            # `pytest -n 2` on this 2-core host the two xdist workers plus
+            # these two compiling subprocesses contend for CPU and the wall
+            # time stretches by >10x.
+            stdout, _ = p.communicate(timeout=1200)
             logs.append(stdout)
     except subprocess.TimeoutExpired:
         for p in procs:

@@ -364,6 +364,54 @@ def test_grid16_transfer_trajectory():
         assert n1 == n2 and (g1 == g2).all()
 
 
+def test_grid16_beam_perturbation_honesty():
+    """grid16 under KITTI-like beam-elevation error (VERDICT r3 task 2): real
+    HDL-64 beams fire up to ~0.15 deg off the nominal ring elevations, and the
+    grid16 transport snaps every return onto the nominal ray (a transverse
+    displacement of r*tan(d_elev) ~ 8 cm at 30 m), while int16 ships the true
+    xyz. Both transports run the same perturbed-beam sequence; the test pins
+    the honest claim recorded in BASELINE.md: the grid16 trajectory stays
+    convergent (the per-ring bias is static, so frame-to-frame registration
+    of identically-displaced geometry mostly cancels it), and the measured
+    grid16-vs-int16 ATE delta is recorded so the headline split (int16 =
+    real-sensor number, grid16 = raster-aligned number) stays justified."""
+    cfg = cfgmod.Config(
+        scan_registration=cfgmod.ScanRegistrationConfig(
+            compute_normal_method=cfgmod.ComputeNormalConfig(
+                format="range_image", method="pca"),
+            presample_method=cfgmod.PresampleConfig(method="geometric_features"),
+            sample_method=cfgmod.SampleConfig(
+                method="random", random=cfgmod.RandomSampleConfig(max_points=1500)),
+        ),
+        laser_odometry=cfgmod.LaserOdometryConfig(
+            refresh_correspondences=False,
+            matching_method=cfgmod.MatchingConfig(method="IMLS"),
+            solve_method=cfgmod.SolveConfig(method="LS", iterations=20),
+        ),
+        sensor=cfgmod.SensorConfig(n_scans=N_SCANS, azimuth_resolution=360.0 / AZ_STEPS),
+    )
+    rng = np.random.default_rng(5)
+    offsets = rng.uniform(-0.15, 0.15, size=N_SCANS)
+    scans, gt = synthetic.synthetic_sequence(
+        6, n_scans=N_SCANS, azimuth_steps=AZ_STEPS, speed=0.5, yaw_rate=0.01,
+        seed=3, elev_offsets_deg=offsets)
+    gtr = rel_to_first(gt)
+    ate = {}
+    for transfer in ("int16", "grid16"):
+        odo = Odometry(cfg, capacity=CAPACITY, seed=0, async_mode=True,
+                       transfer=transfer)
+        odo.process_scans(scans, batch=3)
+        odo.finalize()
+        ate[transfer] = evaluate.ate_rmse(odo.poses(), gtr, align=False)
+    # Both transports must remain convergent under perturbed beams...
+    assert ate["int16"] < 0.05, ate
+    assert ate["grid16"] < 0.05, ate
+    # ...and the grid16 penalty must stay within the range-noise class
+    # (2 cm over this 3 m run). If this breaks, grid16 must be demoted to a
+    # synthetic-only transport in bench.py/BASELINE.md.
+    assert ate["grid16"] - ate["int16"] < 0.02, ate
+
+
 def test_grid16_requires_range_image():
     cfg = base_config()
     with pytest.raises(ValueError, match="grid16"):

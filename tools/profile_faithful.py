@@ -45,7 +45,6 @@ def main():
     print(f"whole frame (sync): {whole:.1f} ms  -> {1e3/whole:.1f} scans/s")
 
     # ---- front-end alone ----
-    fe_fn = odo.frontend.process
     key = odo._next_key()
     lf = odo.last_filtered
 
