@@ -181,3 +181,78 @@ def projected_argmin(query: jnp.ndarray, query_normal: jnp.ndarray,
     idx = idx.reshape(-1)[:q]
     valid = (idx >= 0) & jnp.isfinite(p2)
     return jnp.sqrt(jnp.where(valid, p2, jnp.inf)), idx, valid
+
+
+def _cylinder_kernel(q_ref, n_ref, t_ref, o_cnt_ref, o_sum_ref, *, rp2, r2):
+    """Cylinder-gate neighbor statistics (majorAxisSampling inner loop,
+    scan_registration.cpp:676-701): per query, count of target points with
+    ||d|| < r_proj and ||d x n|| < r, plus the summed euclidean distance.
+    Same streaming shape as _nearest_kernel: one pass over the target per
+    query block, running (count, sum) accumulators in registers, no [Q, T]
+    materialization. Math identical to ops.sampling.cylinder_stats (the XLA
+    oracle): coordinate-difference d2 and the |d x n|^2 = d2 |n|^2 - (d.n)^2
+    identity."""
+    n_tiles = t_ref.shape[1] // BT
+    qx = q_ref[0, :].reshape(BQ, 1)
+    qy = q_ref[1, :].reshape(BQ, 1)
+    qz = q_ref[2, :].reshape(BQ, 1)
+    nx = n_ref[0, :].reshape(BQ, 1)
+    ny = n_ref[1, :].reshape(BQ, 1)
+    nz = n_ref[2, :].reshape(BQ, 1)
+    n2 = nx * nx + ny * ny + nz * nz
+
+    def body(i, carry):
+        cnt, dsum = carry
+        base = i * BT
+        tx = t_ref[0, pl.ds(base, BT)].reshape(1, BT)
+        ty = t_ref[1, pl.ds(base, BT)].reshape(1, BT)
+        tz = t_ref[2, pl.ds(base, BT)].reshape(1, BT)
+        dx = qx - tx
+        dy = qy - ty
+        dz = qz - tz
+        d2 = dx * dx + dy * dy + dz * dz     # padding (+inf coords) -> inf
+        dn = dx * nx + dy * ny + dz * nz
+        p2 = d2 * n2 - dn * dn
+        # d2=inf fails the first gate, so inf/nan p2 of padding never counts.
+        ok = (d2 < rp2) & (p2 < r2)
+        cnt = cnt + jnp.sum(jnp.where(ok, 1.0, 0.0), axis=1)
+        dsum = dsum + jnp.sum(jnp.where(ok, jnp.sqrt(d2), 0.0), axis=1)
+        return (cnt, dsum)
+
+    init = (jnp.zeros((BQ,), jnp.float32), jnp.zeros((BQ,), jnp.float32))
+    cnt, dsum = jax.lax.fori_loop(0, n_tiles, body, init)
+    o_cnt_ref[:] = cnt
+    o_sum_ref[:] = dsum
+
+
+@partial(jax.jit, static_argnames=("r_proj", "r", "interpret"))
+def cylinder_stats(query: jnp.ndarray, normal: jnp.ndarray,
+                   target: jnp.ndarray, target_valid: jnp.ndarray,
+                   r_proj: float, r: float, interpret: bool = False):
+    """Drop-in Pallas replacement for ops.sampling.cylinder_stats.
+    Returns (count [Q] i32, dist_sum [Q] f32)."""
+    qT, tT, q, t = _prep(query, target, target_valid)
+    nq = normal.shape[0]
+    nT = jnp.pad(normal, ((0, (-nq) % BQ), (0, 0))).T
+    n_q_blocks = qT.shape[1] // BQ
+
+    kernel = partial(_cylinder_kernel, rp2=float(r_proj) ** 2, r2=float(r) ** 2)
+    cnt, dsum = pl.pallas_call(
+        kernel,
+        grid=(n_q_blocks,),
+        in_specs=[
+            pl.BlockSpec((3, BQ), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BQ), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tT.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BQ,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BQ,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_q_blocks * BQ,), jnp.float32),
+            jax.ShapeDtypeStruct((n_q_blocks * BQ,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qT, nT, tT)
+    return (cnt.reshape(-1)[:q].astype(jnp.int32), dsum.reshape(-1)[:q])

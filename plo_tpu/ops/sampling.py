@@ -162,9 +162,9 @@ def cylinder_stats(query: jnp.ndarray, normal: jnp.ndarray,
     return cnt, dsum
 
 
-@partial(jax.jit, static_argnames=("azimuth_bins", "elevation_bins", "min_points_per_bin",
-                                   "max_points_per_bin", "max_total_points", "out_size",
-                                   "strategy"))
+@partial(jax.jit, static_argnames=("r", "r_proj", "azimuth_bins", "elevation_bins",
+                                   "min_points_per_bin", "max_points_per_bin",
+                                   "max_total_points", "out_size", "strategy"))
 def major_axis_sampling(xyz: jnp.ndarray, normals: jnp.ndarray, candidates: jnp.ndarray,
                         last_xyz: jnp.ndarray, last_valid: jnp.ndarray, key: jnp.ndarray,
                         r: float, r_proj: float, max_total_points: int,
@@ -197,11 +197,21 @@ def major_axis_sampling(xyz: jnp.ndarray, normals: jnp.ndarray, candidates: jnp.
     # desynchronize when size > P).
     sub_cap = min(n_bins * max_points_per_bin, candidates.shape[0])
     sub_idx, sub_valid = compact_indices(in_subsample, sub_cap)
-    # chunk=16384 measured fastest on the chip at this 12.8k x 57.6k shape;
-    # the conservative 4096 default protects CPU/small-host callers (each
-    # scan-body intermediate is [Q, chunk] f32 before XLA fusion).
-    cnt, dsum = cylinder_stats(xyz[sub_idx], normals[sub_idx],
-                               last_xyz, last_valid, r_proj, r, chunk=16384)
+    if jax.default_backend() == "tpu":
+        # Pallas streaming form: one pass over the previous cloud per query
+        # block with register-resident (count, sum) accumulators — same math
+        # as the XLA scan below (its oracle), no [Q, chunk] intermediates.
+        from plo_tpu.ops import pallas_nn
+        cnt, dsum = pallas_nn.cylinder_stats(xyz[sub_idx], normals[sub_idx],
+                                             last_xyz, last_valid, r_proj, r)
+    else:
+        # chunk=16384 measured fastest on the chip at this 12.8k x 57.6k
+        # shape; the conservative 4096 default protects CPU/small-host
+        # callers (each scan-body intermediate is [Q, chunk] f32 before XLA
+        # fusion).
+        cnt, dsum = cylinder_stats(xyz[sub_idx], normals[sub_idx],
+                                   last_xyz, last_valid, r_proj, r,
+                                   chunk=16384)
     has3 = sub_valid & (cnt >= 3)
     avg_dist = jnp.where(has3, dsum / jnp.maximum(cnt, 1).astype(jnp.float32), 0.0)
 

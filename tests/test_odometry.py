@@ -419,6 +419,47 @@ def test_grid16_requires_range_image():
 
 
 @pytest.mark.slow
+def test_faithful_reference_config_regression():
+    """The faithful-config regression (VERDICT r3 task 1): the reference's
+    shipped config.json loaded 1:1 — pointcloud/pca kdtree normals,
+    major_axis/FPS sampling, IMLS with PER-ITERATION full re-search
+    (laser_odometry.cpp:524-647), RANSAC-5000/DRPM, identity ICP init — must
+    stay convergent end-to-end, and the frozen-correspondence optimization
+    (bench.py's documented extension) must match its trajectory. This is the
+    accuracy side of the scans_per_sec_faithful_* rows in BASELINE.md: perf
+    work on the faithful path (Pallas cylinder kernel, counting-sort
+    preprocess, single-chunk RANSAC scoring) is pinned here against the
+    re-search semantics."""
+    import dataclasses
+    cfg = cfgmod.load(
+        "/root/reference/config.json",
+        sensor=cfgmod.SensorConfig(n_scans=N_SCANS, azimuth_resolution=360.0 / AZ_STEPS))
+    assert cfg.laser_odometry.refresh_correspondences  # reference semantics
+    assert not cfg.laser_odometry.motion_prior         # identity ICP init
+    world = synthetic.SyntheticWorld.corridor(seed=7, n_boxes=140, extent=60.0)
+    scans, gt = small_sequence(6, world=world)
+    gtr = rel_to_first(gt)
+
+    odo = Odometry(cfg, capacity=CAPACITY, seed=0)
+    for s in scans:
+        odo.process_scan(s)
+    ate_refresh = evaluate.ate_rmse(odo.poses(), gtr, align=False)
+    # 32-beam test sparsity puts the IMLS blend bias at the few-cm level
+    # (BASELINE.md method-matrix note); catastrophic divergence is what this
+    # guards against.
+    assert ate_refresh < 0.15, ate_refresh
+
+    frozen = dataclasses.replace(
+        cfg, laser_odometry=dataclasses.replace(
+            cfg.laser_odometry, refresh_correspondences=False))
+    odo2 = Odometry(frozen, capacity=CAPACITY, seed=0)
+    for s in scans:
+        odo2.process_scan(s)
+    ate_frozen = evaluate.ate_rmse(odo2.poses(), gtr, align=False)
+    assert abs(ate_frozen - ate_refresh) < 0.05, (ate_refresh, ate_frozen)
+
+
+@pytest.mark.slow
 def test_method_matrix_all_green_combos_converge():
     """The results.png analog (VERDICT r1 item 9): every green reference
     method combination converges on the hardened synthetic (2 cm noise,

@@ -44,3 +44,20 @@ def test_pallas_projected_matches_xla(rng):
     m = np.asarray(va)
     np.testing.assert_array_equal(np.asarray(ia)[m], np.asarray(ib)[m])
     np.testing.assert_allclose(np.asarray(pa)[m], np.asarray(pb)[m], rtol=1e-4)
+
+
+def test_pallas_cylinder_stats_matches_xla(rng):
+    from plo_tpu.ops import sampling
+    q, t, tv = clouds(rng, q=500, t=4000, scale=20.0)
+    n = rng.normal(size=(500, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    ca, sa = sampling.cylinder_stats(jnp.asarray(q), jnp.asarray(n),
+                                     jnp.asarray(t), jnp.asarray(tv), 1.5, 0.5)
+    cb, sb = pallas_nn.cylinder_stats(jnp.asarray(q), jnp.asarray(n),
+                                      jnp.asarray(t), jnp.asarray(tv), 1.5, 0.5,
+                                      interpret=True)
+    # Identical gate math; only the f32 accumulation order differs (tile
+    # widths), so counts match exactly away from gate boundaries and sums to
+    # f32 tolerance.
+    np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), rtol=2e-5, atol=1e-4)
