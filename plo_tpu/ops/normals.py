@@ -26,6 +26,7 @@ implemented as intended: each occupied cell carries its own xyz.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Tuple
 
@@ -131,6 +132,55 @@ def _window_shift(cloud: RingCloud, packed: jnp.ndarray,
     return rows[..., :3], ok
 
 
+def _fused_adjacent_window(cloud: RingCloud, packed: jnp.ndarray, offset: int,
+                           knn_threshold: float, window_size: int,
+                           iter_step: int, eligible: jnp.ndarray,
+                           search_window: int = 8):
+    """Fused findNearestPoint + window gather on ring r+offset: ONE
+    [P, 2*(search_window+window_size)+1, 5] row gather covers both the kd
+    emulation's +-search_window candidate arc (ops.neighbors.
+    ring_neighbor_search semantics, same candidate set / argmin / threshold)
+    and the +-window_size PCA window around whichever candidate wins — the
+    window rows are then take_along_axis slot selections from the already-
+    gathered arc instead of a second HBM gather (TPU gathers are the cost
+    here; this halves the gather traffic of the kdtree PCA mode)."""
+    h = cloud.ring_start.shape[0]
+    tring = cloud.ring + offset
+    tring_ok = (tring >= 0) & (tring < h)
+    tring_c = jnp.clip(tring, 0, h - 1)
+    tstart = cloud.ring_start[tring_c]
+    tcount = cloud.ring_count[tring_c]
+    qcount = jnp.maximum(cloud.ring_count[jnp.clip(cloud.ring, 0, h - 1)], 1)
+    center = (cloud.pos_in_ring.astype(jnp.float32) / qcount.astype(jnp.float32)
+              * tcount.astype(jnp.float32)).astype(jnp.int32)
+
+    half = search_window + window_size
+    offs = jnp.arange(-half, half + 1, dtype=jnp.int32)
+    cand_pos = center[:, None] + offs[None, :]
+    in_ring = (cand_pos >= 0) & (cand_pos < tcount[:, None]) & tring_ok[:, None]
+    cand_flat = jnp.clip(tstart[:, None] + cand_pos, 0, cloud.capacity - 1)
+    rows = packed[cand_flat]                       # [P, 2*half+1, 5]
+    rows_ok = in_ring & (rows[..., 4] > 0.5)
+
+    # kd phase: the middle 2*search_window+1 slots are exactly
+    # ring_neighbor_search(window=search_window)'s candidates.
+    mid = slice(window_size, window_size + 2 * search_window + 1)
+    diff = rows[:, mid, :3] - cloud.xyz[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d2 = jnp.where(rows_ok[:, mid], d2, jnp.inf)
+    best = jnp.argmin(d2, axis=1)                  # [P] in [0, 2*search_window]
+    best_d2 = jnp.take_along_axis(d2, best[:, None], axis=1)[:, 0]
+    found = jnp.isfinite(best_d2) & cloud.valid & (best_d2 < knn_threshold)
+
+    # window phase: slots best +- window around the winner, selected from the
+    # gathered arc (indices stay in [0, 2*half] by construction).
+    woffs = jnp.arange(-window_size, window_size + 1, iter_step, dtype=jnp.int32)
+    sel = best[:, None] + (window_size + woffs)[None, :]
+    pts = jnp.take_along_axis(rows[..., :3], sel[..., None], axis=1)
+    ok = jnp.take_along_axis(rows_ok, sel, axis=1)
+    return pts, (found & eligible)[:, None] & ok
+
+
 @partial(jax.jit, static_argnames=("window_size", "iter_step", "neighbor_scan",
                                    "use_all_points"))
 def _pca_impl(cloud: RingCloud, window_size: int, iter_step: int,
@@ -143,13 +193,23 @@ def _pca_impl(cloud: RingCloud, window_size: int, iter_step: int,
     eligible = _ring_interior_mask(cloud)
     self_idx = jnp.arange(cloud.capacity, dtype=jnp.int32)
 
-    up_flat, up_ok = _adjacent_ring_index(cloud, -1, neighbor_scan, knn_distance_threshold)
-    dn_flat, dn_ok = _adjacent_ring_index(cloud, +1, neighbor_scan, knn_distance_threshold)
-
     packed = _packed_points(cloud)
     p0, m0 = _window_shift(cloud, packed, eligible, window_size, iter_step)
-    p1, m1 = _window_gather(cloud, packed, up_flat, up_ok & eligible, window_size, iter_step)
-    p2, m2 = _window_gather(cloud, packed, dn_flat, dn_ok & eligible, window_size, iter_step)
+    # Fused arc gather is OPT-IN (PLO_FUSED_KD=1): it halves gather traffic
+    # on paper, but the end-to-end interleaved A/B (tools/
+    # ab_faithful_kernels.py) measured the combined new-kernel build 16%
+    # slower — take_along_axis on the [P, 23, 5] arc lowers worse than the
+    # two straight gathers it replaces.
+    if neighbor_scan == "kdtree" and os.environ.get("PLO_FUSED_KD"):
+        p1, m1 = _fused_adjacent_window(cloud, packed, -1, knn_distance_threshold,
+                                        window_size, iter_step, eligible)
+        p2, m2 = _fused_adjacent_window(cloud, packed, +1, knn_distance_threshold,
+                                        window_size, iter_step, eligible)
+    else:
+        up_flat, up_ok = _adjacent_ring_index(cloud, -1, neighbor_scan, knn_distance_threshold)
+        dn_flat, dn_ok = _adjacent_ring_index(cloud, +1, neighbor_scan, knn_distance_threshold)
+        p1, m1 = _window_gather(cloud, packed, up_flat, up_ok & eligible, window_size, iter_step)
+        p2, m2 = _window_gather(cloud, packed, dn_flat, dn_ok & eligible, window_size, iter_step)
 
     pts = jnp.concatenate([p0, p1, p2], axis=1)   # [P, num, 3]
     msk = jnp.concatenate([m0, m1, m2], axis=1)   # [P, num]

@@ -24,6 +24,7 @@ Reference parity:
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -197,10 +198,16 @@ def major_axis_sampling(xyz: jnp.ndarray, normals: jnp.ndarray, candidates: jnp.
     # desynchronize when size > P).
     sub_cap = min(n_bins * max_points_per_bin, candidates.shape[0])
     sub_idx, sub_valid = compact_indices(in_subsample, sub_cap)
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and os.environ.get("PLO_PALLAS_CYLINDER"):
         # Pallas streaming form: one pass over the previous cloud per query
         # block with register-resident (count, sum) accumulators — same math
         # as the XLA scan below (its oracle), no [Q, chunk] intermediates.
+        # OPT-IN (PLO_PALLAS_CYLINDER=1): standalone it measures 2.3x faster
+        # (5.5 vs 12.6 ms chained at 12.8k x 57.6k), but embedded in the
+        # scanned front-end the interleaved end-to-end A/B measured the
+        # pipeline 16% SLOWER (tools/ab_faithful_kernels.py) — the
+        # pallas_call boundary blocks XLA from fusing the subsample gather
+        # and bin reductions around it. Default stays the fusing XLA scan.
         from plo_tpu.ops import pallas_nn
         cnt, dsum = pallas_nn.cylinder_stats(xyz[sub_idx], normals[sub_idx],
                                              last_xyz, last_valid, r_proj, r)
