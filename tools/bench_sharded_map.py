@@ -38,7 +38,7 @@ def main():
         ),
         laser_odometry=cfgmod.LaserOdometryConfig(
             target_mode="map",
-            map=cfgmod.MapConfig(voxel_size=0.3, capacity=65536),
+            map=cfgmod.MapConfig(voxel_size=0.3, capacity=32768),
             matching_method=cfgmod.MatchingConfig(method="IMLS"),
             solve_method=cfgmod.SolveConfig(
                 method="RANSAC", iterations=30,
@@ -50,7 +50,7 @@ def main():
     )
     world = synthetic.SyntheticWorld.corridor(seed=7, n_boxes=140, extent=120.0)
     scans, _ = synthetic.synthetic_sequence(
-        22, n_scans=32, azimuth_steps=450, speed=0.5, yaw_rate=0.01, seed=3,
+        16, n_scans=32, azimuth_steps=450, speed=0.5, yaw_rate=0.01, seed=3,
         world=world)
 
     def run(make):
@@ -66,12 +66,18 @@ def main():
         return len(scans) - 6, dt, odo.poses()
 
     n1, t1, p1 = run(lambda: Odometry(cfg, capacity=16384, seed=0))
-    mesh = get_mesh(8)
+    # 4 virtual devices: the 8-device mesh's collective rendezvous starves
+    # on this 2-core host (8 participant threads must execute one collective
+    # concurrently; XLA aborts after its 40 s rendezvous timeout). 4 devices
+    # keep the measurement honest for the OVERHEAD ratio while fitting the
+    # core budget; the 8-device numerical-equivalence checks live in
+    # tests/test_parallel.py / test_map_store.py on tiny shapes.
+    mesh = get_mesh(4)
     n8, t8, p8 = run(lambda: ShardedMapOdometry(cfg, mesh, capacity=16384,
                                                 seed=0, defer_fetch=True))
     dmax = float(np.linalg.norm(p1[:, :3, 3] - p8[:, :3, 3], axis=1).max())
     print(f"single-device map mode : {n1 / t1:6.2f} scans/s ({t1 / n1 * 1e3:.1f} ms/frame)")
-    print(f"sharded map (8-dev CPU): {n8 / t8:6.2f} scans/s ({t8 / n8 * 1e3:.1f} ms/frame)")
+    print(f"sharded map (4-dev CPU): {n8 / t8:6.2f} scans/s ({t8 / n8 * 1e3:.1f} ms/frame)")
     print(f"intra-process sharding overhead: {t8 / t1:.2f}x; "
           f"trajectory max |dt| {dmax * 1e3:.2f} mm")
 
