@@ -263,12 +263,14 @@ def synthetic_sequence(
 ) -> Tuple[List[np.ndarray], np.ndarray]:
     """Generate a sequence of scans plus ground-truth poses [n_frames, 4, 4].
 
-    The sensor drives forward at `speed` m/frame with constant yaw rate.
+    The sensor drives forward at `speed` m/frame with yaw rate `yaw_rate`
+    rad/frame; both may be scalars or per-frame arrays (a standstill-start
+    ramp, 90-degree corners, loop-closing rectangles — the KITTI-protocol
+    drill builds its turns-and-revisit path this way).
     """
     # Trajectory first, so a generated world can be carved around it.
-    # `speed` may be a scalar (constant m/frame) or per-frame array (e.g. a
-    # standstill-start ramp, like real drive logs).
     speeds = np.broadcast_to(np.asarray(speed, np.float64), (n_frames,))
+    yaw_rates = np.broadcast_to(np.asarray(yaw_rate, np.float64), (n_frames,))
     poses = np.zeros((n_frames, 4, 4))
     x, y, yaw = 0.0, 0.0, 0.0
     for i in range(n_frames):
@@ -278,7 +280,7 @@ def synthetic_sequence(
         )
         x += speeds[i] * np.cos(yaw)
         y += speeds[i] * np.sin(yaw)
-        yaw += yaw_rate
+        yaw += yaw_rates[i]
     if world is None:
         world = SyntheticWorld.around_path(poses[:, :2, 3], seed=seed)
     scans = [

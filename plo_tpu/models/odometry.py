@@ -92,32 +92,39 @@ def _build_match_solve(cfg: Config):
         raise ValueError(f"invalid matching method {matching_method!r}")
 
     def solve(src_xyz, y, n, valid, key):
+        """Returns (deltaTrans, ok, probs[6]) — probs are the DRPM
+        non-degeneracy probabilities the reference logs every solve
+        (solver.cpp:559-563); ones for solve paths without a DRPM stage."""
+        ones6 = jnp.ones((6,), jnp.float32)
         if solve_method == "Ceres":
-            return solve_gauss_newton(src_xyz, y, n, valid, sv.ceres.max_iterations)
+            T, ok = solve_gauss_newton(src_xyz, y, n, valid, sv.ceres.max_iterations)
         elif solve_method == "LS":
-            return solve_ls_trimmed(src_xyz, y, n, valid, sv.ls.threshold)
+            T, ok = solve_ls_trimmed(src_xyz, y, n, valid, sv.ls.threshold)
         elif solve_method == "RANSAC":
             r = sv.ransac
             return solve_ransac(src_xyz, y, n, valid, key, r.max_iterations,
                                 r.distance_threshold, r.min_inliers_percentage,
                                 r.huber_threshold, r.final_solve_method,
                                 r.ls_threshold, r.drpm_threshold,
-                                r.drpm_stdev_points, r.drpm_stdev_normals)
+                                r.drpm_stdev_points, r.drpm_stdev_normals,
+                                return_probs=True)
         elif solve_method == "ICP":
-            return solve_icp_point_to_point(src_xyz, y, valid,
-                                            min(sv.icp.max_iterations, 30))
+            T, ok = solve_icp_point_to_point(src_xyz, y, valid,
+                                             min(sv.icp.max_iterations, 30))
         elif solve_method == "Teaser":
             t = sv.teaser
-            return solve_gnc_tls(src_xyz, y, valid, t.noise_bound,
-                                 t.rotation_gnc_factor,
-                                 min(t.rotation_max_iterations, 64),
-                                 use_max_clique=t.use_max_clique,
-                                 kcore_min_fraction=t.kcore_heuristic_threshold,
-                                 estimate_scaling=t.estimate_scaling,
-                                 key=key,
-                                 algorithm=t.rotation_estimation_algorithm,
-                                 cost_threshold=t.rotation_cost_threshold)
-        raise ValueError(f"invalid solve method {solve_method!r}")
+            T, ok = solve_gnc_tls(src_xyz, y, valid, t.noise_bound,
+                                  t.rotation_gnc_factor,
+                                  min(t.rotation_max_iterations, 64),
+                                  use_max_clique=t.use_max_clique,
+                                  kcore_min_fraction=t.kcore_heuristic_threshold,
+                                  estimate_scaling=t.estimate_scaling,
+                                  key=key,
+                                  algorithm=t.rotation_estimation_algorithm,
+                                  cost_threshold=t.rotation_cost_threshold)
+        else:
+            raise ValueError(f"invalid solve method {solve_method!r}")
+        return T, ok, ones6
 
     # Compile-time iteration caps are a deliberate deviation (a fused
     # while_loop unrolls its solver body; the reference's 1000-iteration
@@ -237,11 +244,11 @@ def _make_icp_step(cfg: Config, jit: bool = True):
                 cache = matching.imls_search(src0, target, imls_cfg)
 
         def cond(state):
-            i, rpose, done, _, _ = state
+            i, rpose, done, _, _, _ = state
             return (i < iterations) & ~done
 
         def body(state):
-            i, rpose, _, _, _ = state
+            i, rpose, _, _, _, _ = state
             src_xyz = geo.transform_points(rpose, flat.xyz)
             if transform_normal:
                 src_normal = geo.rotate_vectors(rpose, flat.normal)
@@ -258,7 +265,7 @@ def _make_icp_step(cfg: Config, jit: bool = True):
             enough = n_corr >= correspond_number
 
             iter_key = jax.random.fold_in(key, i)
-            delta, ok = solve(src_xyz, res.y, res.normal, res.valid, iter_key)
+            delta, ok, probs = solve(src_xyz, res.y, res.normal, res.valid, iter_key)
             delta = jnp.where(enough & ok, delta, jnp.eye(4, dtype=delta.dtype))
             new_rpose = delta @ rpose
 
@@ -266,12 +273,16 @@ def _make_icp_step(cfg: Config, jit: bool = True):
             dangle = geo.rotation_angle(delta[:3, :3])
             converged = (ddist < sv.delta_dist_threshold) & (dangle < sv.delta_angle_threshold)
             done = ~(enough & ok) | converged  # break conditions (:571-576,611-616,643-646)
-            return (i + 1, new_rpose, done, n_corr, converged)
+            return (i + 1, new_rpose, done, n_corr, converged, probs)
 
         init = (jnp.asarray(0, jnp.int32), init_pose,
-                jnp.asarray(False), jnp.asarray(0, jnp.int32), jnp.asarray(False))
-        i, rpose, done, n_corr, converged = jax.lax.while_loop(cond, body, init)
-        return rpose, i, n_corr, converged
+                jnp.asarray(False), jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                jnp.ones((6,), jnp.float32))
+        i, rpose, done, n_corr, converged, probs = jax.lax.while_loop(cond, body, init)
+        # probs = the LAST solve's DRPM non-degeneracy probabilities
+        # (solver.cpp:559-563 prints them every iteration; the final
+        # iteration's vector is the one that decided the converged delta).
+        return rpose, i, n_corr, converged, probs
 
     return jax.jit(icp_step) if jit else icp_step
 
@@ -306,14 +317,14 @@ def _make_icp_iteration(cfg: Config):
         res = match(src, target, tgt_normal, tgt_normal_ok)
         n_corr = jnp.sum(res.valid.astype(jnp.int32))
         enough = n_corr >= correspond_number
-        delta, ok = solve(src_xyz, res.y, res.normal, res.valid, key)
+        delta, ok, probs = solve(src_xyz, res.y, res.normal, res.valid, key)
         delta = jnp.where(enough & ok, delta, jnp.eye(4, dtype=delta.dtype))
         new_rpose = delta @ rpose
         ddist = jnp.linalg.norm(delta[:3, 3])
         dangle = geo.rotation_angle(delta[:3, :3])
         converged = (ddist < sv.delta_dist_threshold) & (dangle < sv.delta_angle_threshold)
         done = ~(enough & ok) | converged
-        return new_rpose, src_xyz, res.y, res.valid, n_corr, done, converged
+        return new_rpose, src_xyz, res.y, res.valid, n_corr, done, converged, probs
 
     return prepare, iteration
 
@@ -346,6 +357,14 @@ def _make_record_corr(cfg: Config):
         return flat.xyz[order], res.y[order], res.normal[order], valid
 
     return record
+
+
+def _probs_stats(probs) -> dict:
+    """The final solve's DRPM non-degeneracy probability vector as six stats
+    entries (rotation x/y/z then translation x/y/z — the order solver.cpp:559-563
+    prints every solve). All-ones when the configured solve has no DRPM stage."""
+    p = np.asarray(probs, np.float64)
+    return {f"drpm_prob_{i}": float(p[i]) for i in range(6)}
 
 
 # Config-keyed caches: FrontEnd and the jitted ICP step are stateless (frozen
@@ -445,8 +464,8 @@ def _cached_batch_step(cfg: Config, capacity: int, transfer: str):
             # World-frame ICP against the persistent map; init at the motion
             # prior (world * last_rel) or the previous world pose.
             init_pose = (world @ last_rel) if use_prior else world
-            wpose, iters, ncorr, _ = icp(flat, map_cloud,
-                                         jax.random.fold_in(key_f, 1), init_pose)
+            wpose, iters, ncorr, _, probs = icp(flat, map_cloud,
+                                                jax.random.fold_in(key_f, 1), init_pose)
             wpose = fix_pose(wpose)
             new_rel = rel_of(world, wpose)
             filtered = fe.filtered
@@ -457,7 +476,8 @@ def _cached_batch_step(cfg: Config, capacity: int, transfer: str):
             new_map = insert(map_cloud, filtered, wpose)
             out = jnp.concatenate(
                 [wpose.reshape(16),
-                 iters[None].astype(jnp.float32), ncorr[None].astype(jnp.float32)]
+                 iters[None].astype(jnp.float32), ncorr[None].astype(jnp.float32),
+                 probs]
                 + [fe.stats[k][None].astype(jnp.float32) for k in sorted(fe.stats)])
             return (new_map, fe.filtered, wpose, new_rel, fidx + 1, base_key), out
 
@@ -492,15 +512,16 @@ def _cached_batch_step(cfg: Config, capacity: int, transfer: str):
         target = jax.tree_util.tree_map(
             lambda a: a.reshape((-1,) + a.shape[2:]), window)
         init_pose = prior if use_prior else None
-        rpose, iters, ncorr, _ = icp(flat, target,
-                                     jax.random.fold_in(key_f, 1), init_pose)
+        rpose, iters, ncorr, _, probs = icp(flat, target,
+                                            jax.random.fold_in(key_f, 1), init_pose)
         # Pack the whole per-frame result into ONE f32 row so the final
         # device->host fetch is a single contiguous transfer (each extra
         # leaf pays a full round trip on remote-tunnel links, and a D2H
         # stalls the next H2D by ~100 ms on the axon relay).
         out = jnp.concatenate(
             [rpose.reshape(16),
-             iters[None].astype(jnp.float32), ncorr[None].astype(jnp.float32)]
+             iters[None].astype(jnp.float32), ncorr[None].astype(jnp.float32),
+             probs]
             + [fe.stats[k][None].astype(jnp.float32) for k in sorted(fe.stats)])
         if ba_on:
             # Record the BA correspondences INSIDE the scan (VERDICT r3
@@ -605,7 +626,7 @@ class Odometry:
         self.async_mode = async_mode
         self.sync_every = sync_every
         self._last_rel = None  # device-resident previous rPose (undistortion)
-        self._pending = []  # ("single", idx, rel, iters, ncorr, stats) | ("batch", idx0, packed)
+        self._pending = []  # ("single", idx, rel, iters, ncorr, probs, stats) | ("batch", idx0, packed)
         from plo_tpu.models.pipeline import STATS_KEYS
         self._stats_keys = STATS_KEYS  # batched result-row stats layout
         # Scans larger than `capacity` are clamped (min(len, cap)); the count
@@ -741,10 +762,11 @@ class Odometry:
                 if self.cfg.laser_odometry.motion_prior and self._last_rel is not None:
                     init = self._last_rel  # constant-velocity ICP init
             if self._artifact_dir is not None:
-                rpose, i, nc, converged = self._icp_loop_with_artifacts(
+                rpose, i, nc, converged, probs = self._icp_loop_with_artifacts(
                     flat, target, self._next_key(), init)
             else:
-                rpose, i, nc, converged = self.icp_step(flat, target, self._next_key(), init)
+                rpose, i, nc, converged, probs = self.icp_step(
+                    flat, target, self._next_key(), init)
             if self._map_mode:
                 rpose = self._map_fix(rpose)
                 self._last_rel = self._map_rel(self._world_dev, rpose)
@@ -754,12 +776,13 @@ class Odometry:
         else:
             rpose = jnp.eye(4, dtype=jnp.float32)
             i = nc = jnp.asarray(0, jnp.int32)
+            probs = jnp.ones((6,), jnp.float32)
             if self._map_mode:
                 self._world_dev = rpose
 
         index = self.frame_count
         kind = "world" if self._map_mode else "single"
-        self._pending.append((kind, index, rpose, i, nc, fe.stats))
+        self._pending.append((kind, index, rpose, i, nc, probs, fe.stats))
 
         # Model update: persistent voxel map, or the reference's
         # max_queue_size window of filtered clouds. With undistortion on, the
@@ -886,10 +909,11 @@ class Odometry:
         frame = self.frame_count
         n_corr = 0
         converged = False
+        probs = jnp.ones((6,), jnp.float32)
         i = 0
         for i in range(1, iterations + 1):
             iter_key = jax.random.fold_in(key, i - 1)
-            rpose, src_xyz, y, valid, n_corr, done, converged = \
+            rpose, src_xyz, y, valid, n_corr, done, converged, probs = \
                 self._icp_iteration[1](flat, target, tgt_normal, tgt_normal_ok,
                                        rpose, iter_key)
             saver_mod.save_matched_points(
@@ -902,7 +926,7 @@ class Odometry:
                 f"{frame}.{i - 1:02d}")
             if bool(done):
                 break
-        return rpose, jnp.asarray(i, jnp.int32), n_corr, converged
+        return rpose, jnp.asarray(i, jnp.int32), n_corr, converged, probs
 
     def _drain(self):
         """Fetch every pending frame's results in ONE device->host transfer
@@ -915,14 +939,15 @@ class Odometry:
         for (kind, first_index, *_), dev in zip(pending, fetched):
             absolute = kind in ("world", "batch_world")
             if kind in ("batch", "batch_world", "batch_ba"):
-                rows = np.asarray(dev[0], np.float64)  # [batch, 18+K]
+                rows = np.asarray(dev[0], np.float64)  # [batch, 24+K]
                 recs = np.asarray(dev[1], np.float32) if kind == "batch_ba" else None
                 keys = self._stats_keys
                 for j in range(rows.shape[0]):
                     row = rows[j]
+                    stats = dict(zip(keys, row[24:]))
+                    stats.update(_probs_stats(row[18:24]))
                     self._append_frame(first_index + j, row[:16].reshape(4, 4),
-                                       int(row[16]), int(row[17]),
-                                       dict(zip(keys, row[18:])),
+                                       int(row[16]), int(row[17]), stats,
                                        absolute=absolute)
                     if recs is not None:
                         # Unpack the [n_out, 20] record row (see
@@ -935,10 +960,11 @@ class Odometry:
                         self._ba_corr[k] = (rp, rs)
                         self._ba_refine_at(k)
             else:
-                rel, iters, ncorr, stats = dev
+                rel, iters, ncorr, probs, stats = dev
+                stats = {k: float(v) for k, v in stats.items()}
+                stats.update(_probs_stats(probs))
                 self._append_frame(first_index, np.asarray(rel, np.float64),
-                                   int(iters), int(ncorr),
-                                   {k: float(v) for k, v in stats.items()},
+                                   int(iters), int(ncorr), stats,
                                    absolute=absolute)
 
     def _append_frame(self, index, mat, iterations, n_corr, stats, absolute=False):
@@ -1085,7 +1111,8 @@ class Odometry:
                     jnp.asarray(raws), jnp.asarray(nvs), window,
                     self.last_filtered, prior, frame0, self.key)
                 self._last_rel = new_prior
-                # outs: [batch, 18+K] packed rows; defer the (single-leaf) fetch.
+                # outs: [batch, 24+K] packed rows (pose 16 + iters + ncorr +
+                # drpm probs 6 + stats K); defer the (single-leaf) fetch.
                 self._pending.append(("batch", self.frame_count, outs))
                 # Keep the window device-resident; cloud_queue is materialized
                 # lazily (_sync_queue) only if a single-frame path needs it.

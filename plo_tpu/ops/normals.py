@@ -181,12 +181,20 @@ def _fused_adjacent_window(cloud: RingCloud, packed: jnp.ndarray, offset: int,
     return pts, (found & eligible)[:, None] & ok
 
 
+# Opt-in kernel toggle, read ONCE at import: os.environ is not part of the
+# jit cache key, so a trace-time read would silently keep the first-traced
+# kernel if the var were flipped in-process. The toggle is therefore
+# process-startup-only (tools/ab_faithful_kernels.py A/Bs via subprocesses);
+# tests thread `fused_kd` explicitly instead of mutating the environment.
+_FUSED_KD_DEFAULT = bool(os.environ.get("PLO_FUSED_KD"))
+
+
 @partial(jax.jit, static_argnames=("window_size", "iter_step", "neighbor_scan",
-                                   "use_all_points"))
+                                   "use_all_points", "fused_kd"))
 def _pca_impl(cloud: RingCloud, window_size: int, iter_step: int,
               knn_distance_threshold: float, neighbor_scan: str,
               distance_threshold: float, valid_points_threshold: float,
-              use_all_points: bool) -> NormalResult:
+              use_all_points: bool, fused_kd: bool = _FUSED_KD_DEFAULT) -> NormalResult:
     n_win = len(range(-window_size, window_size + 1, iter_step))
     num = 3 * n_win  # required full count (scan_registration.cpp:161,198)
 
@@ -200,7 +208,7 @@ def _pca_impl(cloud: RingCloud, window_size: int, iter_step: int,
     # ab_faithful_kernels.py) measured the combined new-kernel build 16%
     # slower — take_along_axis on the [P, 23, 5] arc lowers worse than the
     # two straight gathers it replaces.
-    if neighbor_scan == "kdtree" and os.environ.get("PLO_FUSED_KD"):
+    if neighbor_scan == "kdtree" and fused_kd:
         p1, m1 = _fused_adjacent_window(cloud, packed, -1, knn_distance_threshold,
                                         window_size, iter_step, eligible)
         p2, m2 = _fused_adjacent_window(cloud, packed, +1, knn_distance_threshold,

@@ -33,6 +33,12 @@ import jax.numpy as jnp
 
 INF = jnp.inf
 
+# Opt-in Pallas kernel toggle, read ONCE at import: os.environ is not part of
+# the jit cache key, so a trace-time read would silently keep the first-traced
+# kernel if the var were flipped in-process. Process-startup-only by design
+# (tools/ab_faithful_kernels.py A/Bs via subprocesses).
+_PALLAS_CYLINDER = bool(os.environ.get("PLO_PALLAS_CYLINDER"))
+
 
 def compact_indices(keep: jnp.ndarray, size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Compact a boolean mask over [P] into a fixed-size index list [size]."""
@@ -198,7 +204,7 @@ def major_axis_sampling(xyz: jnp.ndarray, normals: jnp.ndarray, candidates: jnp.
     # desynchronize when size > P).
     sub_cap = min(n_bins * max_points_per_bin, candidates.shape[0])
     sub_idx, sub_valid = compact_indices(in_subsample, sub_cap)
-    if jax.default_backend() == "tpu" and os.environ.get("PLO_PALLAS_CYLINDER"):
+    if jax.default_backend() == "tpu" and _PALLAS_CYLINDER:
         # Pallas streaming form: one pass over the previous cloud per query
         # block with register-resident (count, sum) accumulators — same math
         # as the XLA scan below (its oracle), no [Q, chunk] intermediates.
@@ -213,12 +219,12 @@ def major_axis_sampling(xyz: jnp.ndarray, normals: jnp.ndarray, candidates: jnp.
                                              last_xyz, last_valid, r_proj, r)
     else:
         # chunk=16384 measured fastest on the chip at this 12.8k x 57.6k
-        # shape; the conservative 4096 default protects CPU/small-host
-        # callers (each scan-body intermediate is [Q, chunk] f32 before XLA
-        # fusion).
+        # shape; CPU hosts keep the conservative 4096 default (each scan-body
+        # intermediate is [Q, chunk] f32 before XLA fusion — at 16384 that is
+        # ~840 MB of pre-fusion intermediates a small host should not build).
         cnt, dsum = cylinder_stats(xyz[sub_idx], normals[sub_idx],
                                    last_xyz, last_valid, r_proj, r,
-                                   chunk=16384)
+                                   chunk=16384 if jax.default_backend() == "tpu" else 4096)
     has3 = sub_valid & (cnt >= 3)
     avg_dist = jnp.where(has3, dsum / jnp.maximum(cnt, 1).astype(jnp.float32), 0.0)
 

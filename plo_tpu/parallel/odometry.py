@@ -61,11 +61,11 @@ def _make_candidate_icp(cfg: Config):
 
     def icp(flat: PointCloud, cxyz, cnrm, cok, cpresent, key, init_pose):
         def cond(state):
-            i, rpose, done, _, _ = state
+            i, rpose, done, _, _, _ = state
             return (i < iterations) & ~done
 
         def body(state):
-            i, rpose, _, _, _ = state
+            i, rpose, _, _, _, _ = state
             src_xyz = geo.transform_points(rpose, flat.xyz)
             src_normal = geo.rotate_vectors(rpose, flat.normal)  # world frame
             src = dataclasses.replace(flat, xyz=src_xyz, normal=src_normal)
@@ -73,21 +73,22 @@ def _make_candidate_icp(cfg: Config):
                 src, cxyz, cnrm, cok, cpresent, imls_cfg)
             n_corr = jnp.sum(res.valid.astype(jnp.int32))
             enough = n_corr >= correspond_number
-            delta, ok = solve(src_xyz, res.y, res.normal, res.valid,
-                              jax.random.fold_in(key, i))
+            delta, ok, probs = solve(src_xyz, res.y, res.normal, res.valid,
+                                     jax.random.fold_in(key, i))
             delta = jnp.where(enough & ok, delta, jnp.eye(4, dtype=delta.dtype))
             new_rpose = delta @ rpose
             ddist = jnp.linalg.norm(delta[:3, 3])
             dangle = geo.rotation_angle(delta[:3, :3])
             converged = (ddist < sv.delta_dist_threshold) & (dangle < sv.delta_angle_threshold)
             done = ~(enough & ok) | converged
-            return (i + 1, new_rpose, done, n_corr, converged)
+            return (i + 1, new_rpose, done, n_corr, converged, probs)
 
         init = (jnp.asarray(0, jnp.int32), init_pose,
-                jnp.asarray(False), jnp.asarray(0, jnp.int32), jnp.asarray(False))
-        i, rpose, done, n_corr, converged = jax.lax.while_loop(cond, body, init)
+                jnp.asarray(False), jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                jnp.ones((6,), jnp.float32))
+        i, rpose, done, n_corr, converged, probs = jax.lax.while_loop(cond, body, init)
         rpose = geo.make_se3(geo.orthonormalize(rpose[:3, :3]), rpose[:3, 3])
-        return rpose, i, n_corr, converged
+        return rpose, i, n_corr, converged, probs
 
     return icp
 
@@ -220,13 +221,14 @@ class ShardedMapOdometry:
             src0 = self._search_prep(flat.xyz, init)
             _, cxyz, cnrm, cok, cvalid = self.store.knn_gather(
                 src0, imls_cfg.search_number, radius=imls_cfg.r)
-            wpose, iters, ncorr, _ = self._icp(
+            wpose, iters, ncorr, _, probs = self._icp(
                 flat, cxyz, cnrm, cok, cvalid, self._next_key(), init)
             self._last_rel = self._rel_of(self._world_dev, wpose)
             self._world_dev = wpose
         else:
             wpose = self._eye
             iters = ncorr = jnp.zeros((), jnp.int32)
+            probs = jnp.ones((6,), jnp.float32)
             self._world_dev = wpose
 
         # Map insertion: world-frame filtered cloud repartitioned by spatial
@@ -235,7 +237,7 @@ class ShardedMapOdometry:
         part, center = self._stage_insert(filtered, wpose)
         self.store.cloud = self._insert(self.store.cloud, part, center)
 
-        self._pending.append((self.frame_count, wpose, iters, ncorr, fe.stats))
+        self._pending.append((self.frame_count, wpose, iters, ncorr, probs, fe.stats))
         self.last_filtered = fe.filtered
         self.frame_count += 1
         if self._defer:
@@ -250,14 +252,17 @@ class ShardedMapOdometry:
             return
         pending, self._pending = self._pending, []
         fetched = jax.device_get([p[1:] for p in pending])
-        for (index, *_), (wpose, iters, ncorr, stats) in zip(pending, fetched):
+        from plo_tpu.models.odometry import _probs_stats
+        for (index, *_), (wpose, iters, ncorr, probs, stats) in zip(pending, fetched):
             pose = np.asarray(wpose, np.float64)
             rel = np.linalg.inv(self.prev_pose) @ pose
             self.prev_pose = pose
+            st = {k: float(v) for k, v in stats.items()}
+            st.update(_probs_stats(probs))
             self.trajectory.append(OdometryFrame(
                 index=index, pose=pose, rel_pose=rel,
                 iterations=int(iters), n_correspondences=int(ncorr),
-                stats={k: float(v) for k, v in stats.items()}))
+                stats=st))
 
     def finalize(self) -> List[OdometryFrame]:
         self._drain()

@@ -112,14 +112,18 @@ def _score_hypotheses(source, ref, normal, valid, R_all, t_all,
     return counts.reshape(-1)[:m]
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "final_solve_method"))
+@partial(jax.jit, static_argnames=("max_iterations", "final_solve_method",
+                                   "return_probs"))
 def solve_ransac(source, ref, normal, valid, key,
                  max_iterations: int, distance_threshold: float,
                  min_inliers_percentage: float, huber_threshold: float,
                  final_solve_method: str, ls_threshold: float,
                  drpm_threshold: float, drpm_stdev_points: float,
-                 drpm_stdev_normals: float):
-    """Returns (deltaTrans 4x4, ok bool)."""
+                 drpm_stdev_normals: float, return_probs: bool = False):
+    """Returns (deltaTrans 4x4, ok bool); with return_probs=True additionally
+    the DRPM [6] signal-to-noise non-degeneracy probabilities (ones when the
+    final solve is not DRPM) — the vector the reference prints every solve
+    (solver.cpp:559-563)."""
     n = source.shape[0]
     n_valid = jnp.sum(valid.astype(jnp.int32))
     min_inliers = (min_inliers_percentage * n_valid.astype(jnp.float32)).astype(jnp.int32)
@@ -160,13 +164,15 @@ def solve_ransac(source, ref, normal, valid, key,
     wsum = jnp.sum(w)
     w = jnp.where(wsum > 0, w / jnp.maximum(wsum, 1e-20), w)
 
+    probs = jnp.ones((6,), jnp.float32)
     if final_solve_method == "LS":
         T, ok = solve_ls_trimmed(source, ref, normal, inlier, ls_threshold)
     elif final_solve_method == "Weighted LS":
         T, ok = solve_weighted_ls(source, ref, normal, inlier, w)
     elif final_solve_method == "DRPM":
-        T, ok, _ = solve_drpm(source, ref, normal, inlier, w,
-                              drpm_threshold, drpm_stdev_points, drpm_stdev_normals)
+        T, ok, probs = solve_drpm(source, ref, normal, inlier, w,
+                                  drpm_threshold, drpm_stdev_points, drpm_stdev_normals)
     else:
         raise ValueError(f"invalid RANSAC final_solve_method {final_solve_method!r}")
-    return T, ok & (n_valid >= 3)
+    ok = ok & (n_valid >= 3)
+    return (T, ok, probs) if return_probs else (T, ok)

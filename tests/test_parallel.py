@@ -44,11 +44,11 @@ def test_sharded_icp_matches_single_device(rng):
     key = jax.random.PRNGKey(0)
 
     single = _make_icp_step(cfg)
-    r1, i1, c1, _ = single(flat, target, key)
+    r1, i1, c1, _, _ = single(flat, target, key)
 
     mesh = get_mesh(8)
     stepped = make_sharded_icp_step(cfg, mesh)
-    r8, i8, c8, _ = stepped(flat, target, key)
+    r8, i8, c8, _, _ = stepped(flat, target, key)
 
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r8), atol=1e-4)
     assert int(c1) == int(c8)
@@ -119,11 +119,11 @@ def test_sharded_icp_2d_mesh_matches_single(rng):
     flat, target = _clouds(rng)
     key = jax.random.PRNGKey(0)
     single = _make_icp_step(cfg)
-    r1, i1, c1, _ = single(flat, target, key)
+    r1, i1, c1, _, _ = single(flat, target, key)
 
     mesh = get_mesh_2d(2, 4)
     step = make_sharded_icp_step_2d(cfg, mesh)
-    r2, i2, c2, _ = step(flat, target, key)
+    r2, i2, c2, _, _ = step(flat, target, key)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-4)
     assert int(c1) == int(c2)
 

@@ -63,7 +63,7 @@ def main():
     print(f"icp_step (30-iter while_loop, identity init): {r:.1f} ms")
 
     # count actual iterations
-    _, iters, ncorr, conv = jax.device_get(odo.icp_step(flat, target, kk, None))
+    _, iters, ncorr, conv, _probs = jax.device_get(odo.icp_step(flat, target, kk, None))
     print(f"  iterations run: {iters}, ncorr: {ncorr}, converged: {conv}")
 
     # ---- per-iteration pieces ----

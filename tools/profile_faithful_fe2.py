@@ -1,8 +1,9 @@
 """Faithful front-end decomposition by PROGRAM DIFFERENCING (round 4).
 
-tools/profile_faithful_fe.py's devtime micro-stages disagree with the trusted
-end-to-end walls (its isolated PCA stage measures ~7x the whole compiled
-front-end), so this tool times only FULL compiled front-end programs — the
+Isolated devtime micro-stages disagree with the trusted end-to-end walls
+(an isolated PCA stage measured ~7x the whole compiled front-end — XLA
+fusion context dominates), so this tool times only FULL compiled front-end
+programs — the
 faithful config and one-knob variants — and attributes cost by difference.
 Each timing: 2 warm blocked runs, then N runs each blocked (serial device
 execution; the axon tunnel RTT is amortized by N).
