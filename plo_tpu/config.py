@@ -310,6 +310,18 @@ class LaserOdometryConfig:  # config.json:83-171
     # when a motion prior puts iteration 0 within centimeters of the optimum.
     # Euclidean-anchor IMLS only; other modes ignore the flag.
     refresh_correspondences: bool = True
+    # Extension (hybrid refresh, euclidean IMLS with
+    # refresh_correspondences=True only): re-run the full target search ONLY
+    # when the accumulated per-point motion since the last search exceeds
+    # this bound (meters); between searches the frozen candidate set is
+    # re-gated/re-sorted at the updated pose (imls_project_cached — exact at
+    # the search pose). The identity-init reference regime re-searches its
+    # first few >2 cm iterations and reuses across the ~25 sub-mm tail
+    # iterations. 0.0 = re-search every iteration (strict
+    # laser_odometry.cpp:524-647 parity); trajectory parity at the default
+    # is pinned by tests/test_odometry.py::
+    # test_hybrid_refresh_matches_full_research.
+    refresh_motion_threshold: float = 0.02
     ba: BAConfig = BAConfig()
     matching_method: MatchingConfig = MatchingConfig()
     solve_method: SolveConfig = SolveConfig()

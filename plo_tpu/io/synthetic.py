@@ -250,6 +250,38 @@ def write_kitti_layout(root: str, scans: List[np.ndarray], poses_velo: np.ndarra
     return tr
 
 
+def rectangle_loop_profile(n_straight: int = 20, n_turn: int = 24,
+                           speed: float = 1.2, turn_speed_factor: float = 0.7,
+                           laps: int = 1) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-frame (speeds, yaw_rates) for a closed rectangular loop — four
+    straights and four 90-degree turns per lap, ending back at the start
+    (the turns-and-revisit trajectory KITTI-protocol validation needs;
+    /root/reference/README.md:76-78 evaluates with segment-based drift, which
+    is only meaningful on paths with heading changes). Default turn rate is
+    90 deg / 24 frames = 3.75 deg/frame — the sharp end of KITTI's urban
+    corners at 10 Hz; sharper (e.g. 11 deg/frame) exceeds what scan-to-scan
+    ICP can track through and measures the trajectory, not the odometry."""
+    seg_speed = np.concatenate([np.full(n_straight, speed),
+                                np.full(n_turn, speed * turn_speed_factor)])
+    seg_yaw = np.concatenate([np.zeros(n_straight),
+                              np.full(n_turn, (np.pi / 2) / n_turn)])
+    speeds = np.tile(seg_speed, 4 * laps)
+    yaw_rates = np.tile(seg_yaw, 4 * laps)
+    # Real drive logs start from REST and change speed smoothly (KITTI 00
+    # begins standing still). A cold start at full speed is the documented
+    # h-gate catastrophic regime (BASELINE.md trajectory-validation table):
+    # frame 1 has no motion-prior history, the anchor gate rejects the
+    # 1.2 m-displaced correspondences, and DRPM (faithfully) zeroes the
+    # "unobservable" forward direction — the estimator holds still forever.
+    # Ramp-in over ~6 frames and low-pass the speed/yaw steps.
+    ramp = min(6, len(speeds))
+    speeds[:ramp] *= np.linspace(0.25, 1.0, ramp)
+    kern = np.ones(5) / 5.0
+    speeds = np.convolve(speeds, kern, mode="same")
+    yaw_rates = np.convolve(yaw_rates, kern, mode="same")
+    return speeds, yaw_rates
+
+
 def synthetic_sequence(
     n_frames: int,
     n_scans: int = 64,

@@ -223,6 +223,25 @@ def _make_icp_step(cfg: Config, jit: bool = True):
     iterations = sv.iterations
     match, solve, prepare_target, freeze_correspondences, imls_cfg = \
         _build_match_solve(cfg)
+    # Hybrid refresh (refresh_correspondences=True, euclidean IMLS): instead
+    # of the reference's unconditional per-iteration target re-search
+    # (laser_odometry.cpp:524-647), re-search only when the accumulated
+    # worst-case per-point motion since the last search exceeds
+    # refresh_motion_threshold; stale iterations re-gate/re-sort the frozen
+    # candidate set at the updated pose (exact at the search pose). The
+    # identity-init regime re-searches its first few big-delta iterations
+    # and reuses across the ~25 sub-mm tail. lax.cond executes only the
+    # taken branch on TPU, so converged-tail iterations skip the O(Q x T)
+    # search entirely.
+    hybrid_refresh = (
+        lo.matching_method.method == "IMLS"
+        and lo.refresh_correspondences
+        and lo.refresh_motion_threshold > 0.0
+        and not imls_cfg.use_projected_distance.enabled
+        and not (not imls_cfg.get_normals.enabled
+                 and imls_cfg.use_tensor_voting.enabled)
+        and not (lo.target_mode == "map" and lo.map.search == "grid_hash"))
+    refresh_threshold = lo.refresh_motion_threshold
 
     def icp_step(flat: PointCloud, target: PointCloud, key, init_pose=None):
         if init_pose is None:
@@ -244,11 +263,10 @@ def _make_icp_step(cfg: Config, jit: bool = True):
                 cache = matching.imls_search(src0, target, imls_cfg)
 
         def cond(state):
-            i, rpose, done, _, _, _ = state
-            return (i < iterations) & ~done
+            return (state[0] < iterations) & ~state[2]
 
         def body(state):
-            i, rpose, _, _, _, _ = state
+            i, rpose, _, _, _, _, hyb = state
             src_xyz = geo.transform_points(rpose, flat.xyz)
             if transform_normal:
                 src_normal = geo.rotate_vectors(rpose, flat.normal)
@@ -259,6 +277,19 @@ def _make_icp_step(cfg: Config, jit: bool = True):
             if freeze_correspondences:
                 res = matching.imls_project_cached(src, target, imls_cfg, cache,
                                                    tgt_normal, tgt_normal_ok)
+            elif hybrid_refresh:
+                nidx, nfound, moved = hyb
+                need = moved >= refresh_threshold
+                nidx, nfound = jax.lax.cond(
+                    need,
+                    lambda: matching._imls_search_impl(
+                        src_xyz, target.xyz, target.valid,
+                        imls_cfg.r, imls_cfg.search_number, "approx"),
+                    lambda: (nidx, nfound))
+                moved = jnp.where(need, 0.0, moved)
+                res = matching.imls_project_cached(
+                    src, target, imls_cfg, (nidx, nfound),
+                    tgt_normal, tgt_normal_ok)
             else:
                 res = match(src, target, tgt_normal, tgt_normal_ok)
             n_corr = jnp.sum(res.valid.astype(jnp.int32))
@@ -269,16 +300,33 @@ def _make_icp_step(cfg: Config, jit: bool = True):
             delta = jnp.where(enough & ok, delta, jnp.eye(4, dtype=delta.dtype))
             new_rpose = delta @ rpose
 
+            if hybrid_refresh and not freeze_correspondences:
+                # Staleness bound: the worst per-point displacement this
+                # delta causes (exact max over the current source, one [Q]
+                # reduction); accumulated bounds total drift since the last
+                # search by the triangle inequality.
+                disp = geo.transform_points(delta, src_xyz) - src_xyz
+                d2 = jnp.where(flat.valid, jnp.sum(disp * disp, axis=-1), 0.0)
+                hyb = (nidx, nfound, moved + jnp.sqrt(jnp.max(d2)))
+
             ddist = jnp.linalg.norm(delta[:3, 3])
             dangle = geo.rotation_angle(delta[:3, :3])
             converged = (ddist < sv.delta_dist_threshold) & (dangle < sv.delta_angle_threshold)
             done = ~(enough & ok) | converged  # break conditions (:571-576,611-616,643-646)
-            return (i + 1, new_rpose, done, n_corr, converged, probs)
+            return (i + 1, new_rpose, done, n_corr, converged, probs, hyb)
 
+        if hybrid_refresh and not freeze_correspondences:
+            q = flat.xyz.shape[0]  # flat is already _slice_flat'ed above
+            hyb0 = (jnp.zeros((q, imls_cfg.search_number), jnp.int32),
+                    jnp.zeros((q, imls_cfg.search_number), bool),
+                    jnp.asarray(jnp.inf, jnp.float32))  # inf -> search at i=0
+        else:
+            hyb0 = ()
         init = (jnp.asarray(0, jnp.int32), init_pose,
                 jnp.asarray(False), jnp.asarray(0, jnp.int32), jnp.asarray(False),
-                jnp.ones((6,), jnp.float32))
-        i, rpose, done, n_corr, converged, probs = jax.lax.while_loop(cond, body, init)
+                jnp.ones((6,), jnp.float32), hyb0)
+        i, rpose, done, n_corr, converged, probs, _ = \
+            jax.lax.while_loop(cond, body, init)
         # probs = the LAST solve's DRPM non-degeneracy probabilities
         # (solver.cpp:559-563 prints them every iteration; the final
         # iteration's vector is the one that decided the converged delta).

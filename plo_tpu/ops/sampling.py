@@ -33,11 +33,17 @@ import jax.numpy as jnp
 
 INF = jnp.inf
 
-# Opt-in Pallas kernel toggle, read ONCE at import: os.environ is not part of
-# the jit cache key, so a trace-time read would silently keep the first-traced
-# kernel if the var were flipped in-process. Process-startup-only by design
-# (tools/ab_faithful_kernels.py A/Bs via subprocesses).
-_PALLAS_CYLINDER = bool(os.environ.get("PLO_PALLAS_CYLINDER"))
+# Pallas cylinder kernel toggle, read ONCE at import: os.environ is not part
+# of the jit cache key, so a trace-time read would silently keep the
+# first-traced kernel if the var were flipped in-process. Process-startup-only
+# by design (tools/ab_faithful_kernels.py A/Bs via subprocesses).
+# DEFAULT ON for TPU since round 5: the interleaved end-to-end A/B now
+# measures it ~10% faster (21.0/19.1 vs 19.2/16.9 scans/s) — in round 4 it
+# lost 16%, but the ICP side has since been optimized (hybrid refresh +
+# staged RANSAC) and the front-end fusion context changed. Set
+# PLO_PALLAS_CYLINDER=0 to fall back to the pure-XLA scan form (the kernel's
+# oracle, tests/test_pallas_nn.py).
+_PALLAS_CYLINDER = os.environ.get("PLO_PALLAS_CYLINDER", "1") != "0"
 
 
 def compact_indices(keep: jnp.ndarray, size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -208,12 +214,10 @@ def major_axis_sampling(xyz: jnp.ndarray, normals: jnp.ndarray, candidates: jnp.
         # Pallas streaming form: one pass over the previous cloud per query
         # block with register-resident (count, sum) accumulators — same math
         # as the XLA scan below (its oracle), no [Q, chunk] intermediates.
-        # OPT-IN (PLO_PALLAS_CYLINDER=1): standalone it measures 2.3x faster
-        # (5.5 vs 12.6 ms chained at 12.8k x 57.6k), but embedded in the
-        # scanned front-end the interleaved end-to-end A/B measured the
-        # pipeline 16% SLOWER (tools/ab_faithful_kernels.py) — the
-        # pallas_call boundary blocks XLA from fusing the subsample gather
-        # and bin reductions around it. Default stays the fusing XLA scan.
+        # 2.3x faster standalone (5.5 vs 12.6 ms chained at 12.8k x 57.6k)
+        # and ~10% faster end-to-end in the round-5 interleaved A/B
+        # (tools/ab_faithful_kernels.py) — default ON for TPU (see
+        # _PALLAS_CYLINDER above).
         from plo_tpu.ops import pallas_nn
         cnt, dsum = pallas_nn.cylinder_stats(xyz[sub_idx], normals[sub_idx],
                                              last_xyz, last_valid, r_proj, r)

@@ -33,13 +33,12 @@ from plo_tpu.solvers.drpm import solve_drpm
 from plo_tpu.solvers.ls import solve_ls_trimmed, solve_weighted_ls
 
 
-def _fps3_batched(xyz: jnp.ndarray, valid: jnp.ndarray, key: jnp.ndarray, m: int):
-    """FPS with 3 samples, batched over m hypotheses. Returns idx [M, 3]."""
+def _fps23_from_firsts(xyz: jnp.ndarray, valid: jnp.ndarray, firsts: jnp.ndarray):
+    """Farthest-first picks 2 and 3 for given first picks [M]. Each
+    hypothesis is independent, so this can be evaluated on any SLICE of the
+    hypothesis stream (the staged early-exit path scores a prefix first)
+    and produce bit-identical seeds to the full batch."""
     n = xyz.shape[0]
-    n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
-    order = jnp.argsort(~valid, stable=True)
-    firsts = order[jax.random.randint(key, (m,), 0, n_valid)]  # [M]
-
     # Squared distances via the matmul form: FPS argmax picks are invariant
     # under the monotonic square, and far-apart seeds make the f32
     # cancellation error (~1e-3 m^2 at 100 m) irrelevant — so the [M,N]
@@ -59,6 +58,14 @@ def _fps3_batched(xyz: jnp.ndarray, valid: jnp.ndarray, key: jnp.ndarray, m: int
     min_d = jnp.where(jnp.arange(n)[None, :] == seconds[:, None], big_neg, min_d)
     thirds = jnp.argmax(min_d, axis=1)
     return jnp.stack([firsts, seconds.astype(jnp.int32), thirds.astype(jnp.int32)], axis=1)
+
+
+def _fps3_batched(xyz: jnp.ndarray, valid: jnp.ndarray, key: jnp.ndarray, m: int):
+    """FPS with 3 samples, batched over m hypotheses. Returns idx [M, 3]."""
+    n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
+    order = jnp.argsort(~valid, stable=True)
+    firsts = order[jax.random.randint(key, (m,), 0, n_valid)]  # [M]
+    return _fps23_from_firsts(xyz, valid, firsts)
 
 
 @jax.jit
@@ -113,13 +120,14 @@ def _score_hypotheses(source, ref, normal, valid, R_all, t_all,
 
 
 @partial(jax.jit, static_argnames=("max_iterations", "final_solve_method",
-                                   "return_probs"))
+                                   "return_probs", "stage"))
 def solve_ransac(source, ref, normal, valid, key,
                  max_iterations: int, distance_threshold: float,
                  min_inliers_percentage: float, huber_threshold: float,
                  final_solve_method: str, ls_threshold: float,
                  drpm_threshold: float, drpm_stdev_points: float,
-                 drpm_stdev_normals: float, return_probs: bool = False):
+                 drpm_stdev_normals: float, return_probs: bool = False,
+                 stage: int = 256):
     """Returns (deltaTrans 4x4, ok bool); with return_probs=True additionally
     the DRPM [6] signal-to-noise non-degeneracy probabilities (ones when the
     final solve is not DRPM) — the vector the reference prints every solve
@@ -128,30 +136,66 @@ def solve_ransac(source, ref, normal, valid, key,
     n_valid = jnp.sum(valid.astype(jnp.int32))
     min_inliers = (min_inliers_percentage * n_valid.astype(jnp.float32)).astype(jnp.int32)
 
-    # --- hypothesis generation ---
-    seeds = _fps3_batched(source, valid, key, max_iterations)  # [M, 3]
+    # The full hypothesis STREAM's first picks are drawn up front (one cheap
+    # randint) so staged evaluation below sees the identical stream.
+    order = jnp.argsort(~valid, stable=True)
+    firsts = order[jax.random.randint(key, (max_iterations,), 0, n_valid)]
     A_full, b_full = build_system(source, ref, normal, valid)
-    A3 = A_full[seeds]  # [M, 3, 6]
-    b3 = b_full[seeds]  # [M, 3]
-    x = jax.vmap(_solve_seed)(A3, b3)  # [M, 6]
-    # Rodrigues output is already orthonormal; the reference's SVD fix
-    # (solver.cpp:284-293) is a numerical no-op, and 1000 vmapped 3x3 SVDs
-    # are measurable on TPU — apply it only in the final solves.
-    R_all = geo.exp_so3(x[:, :3])
-    t_all = x[:, 3:6]
 
-    counts = _score_hypotheses(source, ref, normal, valid, R_all, t_all,
-                               distance_threshold, max_iterations)
+    def hypotheses(f):
+        seeds = _fps23_from_firsts(source, valid, f)
+        x = jax.vmap(_solve_seed)(A_full[seeds], b_full[seeds])
+        # Rodrigues output is already orthonormal; the reference's SVD fix
+        # (solver.cpp:284-293) is a numerical no-op, and 1000+ vmapped 3x3
+        # SVDs are measurable on TPU — apply it only in the final solves.
+        return geo.exp_so3(x[:, :3]), x[:, 3:6]
 
-    # --- sequential early-exit semantics, batched (solver.cpp:316-326) ---
-    running_best = jax.lax.cummax(counts)
-    exceeded = running_best > min_inliers
-    any_exceeded = jnp.any(exceeded)
-    stop_idx = jnp.where(any_exceeded, jnp.argmax(exceeded), max_iterations - 1)
-    prefix_mask = jnp.arange(max_iterations) <= stop_idx
-    masked_counts = jnp.where(prefix_mask, counts, -1)
-    best = jnp.argmax(masked_counts)  # first max within the prefix
-    R_best, t_best = R_all[best], t_all[best]
+    def pick(counts, R_all, t_all, m):
+        # Sequential early-exit semantics, batched (solver.cpp:316-326): the
+        # winner is the running best at the first index where the running
+        # best exceeds min_inliers (global argmax when none does).
+        running_best = jax.lax.cummax(counts)
+        exceeded = running_best > min_inliers
+        any_exceeded = jnp.any(exceeded)
+        stop_idx = jnp.where(any_exceeded, jnp.argmax(exceeded), m - 1)
+        prefix_mask = jnp.arange(m) <= stop_idx
+        masked_counts = jnp.where(prefix_mask, counts, -1)
+        best = jnp.argmax(masked_counts)  # first max within the prefix
+        return R_all[best], t_all[best]
+
+    # --- staged evaluation: the reference's sequential loop usually exits
+    # within its first few hypotheses (min_inliers reached immediately once
+    # the pose is near-aligned). Stage A generates + scores only the first W
+    # hypotheses; if ANY exceeds min_inliers, the sequential winner provably
+    # lies inside the prefix and stage B (the remaining M-W) is never
+    # executed (lax.cond runs one branch on TPU) — bit-identical results at
+    # ~M/W of the hypothesis cost in the common case. stage=0 forces the
+    # unstaged single pass (the parity oracle in tests/test_solvers.py). ---
+    W = stage
+    if W <= 0 or max_iterations <= 2 * W:
+        R_all, t_all = hypotheses(firsts)
+        counts = _score_hypotheses(source, ref, normal, valid, R_all, t_all,
+                                   distance_threshold, max_iterations)
+        R_best, t_best = pick(counts, R_all, t_all, max_iterations)
+    else:
+        R_a, t_a = hypotheses(firsts[:W])
+        counts_a = _score_hypotheses(source, ref, normal, valid, R_a, t_a,
+                                     distance_threshold, W)
+        stage_a_wins = jnp.any(counts_a > min_inliers)
+
+        def stage_a():
+            return pick(counts_a, R_a, t_a, W)
+
+        def full():
+            R_b, t_b = hypotheses(firsts[W:])
+            counts_b = _score_hypotheses(
+                source, ref, normal, valid, R_b, t_b,
+                distance_threshold, max_iterations - W)
+            return pick(jnp.concatenate([counts_a, counts_b]),
+                        jnp.concatenate([R_a, R_b]),
+                        jnp.concatenate([t_a, t_b]), max_iterations)
+
+        R_best, t_best = jax.lax.cond(stage_a_wins, stage_a, full)
 
     # --- inlier refit with exp-Huber weights (solver.cpp:328-364) ---
     tr = source @ R_best.T + t_best

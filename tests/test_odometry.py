@@ -562,3 +562,35 @@ def test_grid16_16_beam_e2e_and_beam_model_consistency():
         assert evaluate.ate_rmse(poses[transfer], gtr, align=False) < 0.06
     d = np.linalg.norm(poses["grid16"][:, :3, 3] - poses["int16"][:, :3, 3], axis=1)
     assert d.max() < 0.03, d
+
+
+@pytest.mark.slow
+def test_hybrid_refresh_matches_full_research():
+    """Hybrid-refresh parity (the refresh_motion_threshold extension): under
+    the faithful reference config (per-iteration full re-search semantics,
+    laser_odometry.cpp:524-647), re-searching only while the accumulated
+    per-point motion exceeds the default 2 cm bound must reproduce the
+    unconditional-re-search trajectory to well inside the config's own
+    1 mm convergence tolerance per frame."""
+    import dataclasses
+    cfg = cfgmod.load(
+        "/root/reference/config.json",
+        sensor=cfgmod.SensorConfig(n_scans=N_SCANS, azimuth_resolution=360.0 / AZ_STEPS))
+    assert cfg.laser_odometry.refresh_motion_threshold > 0  # hybrid default ON
+    world = synthetic.SyntheticWorld.corridor(seed=7, n_boxes=140, extent=60.0)
+    scans, gt = small_sequence(6, world=world)
+    gtr = rel_to_first(gt)
+
+    pure = dataclasses.replace(
+        cfg, laser_odometry=dataclasses.replace(
+            cfg.laser_odometry, refresh_motion_threshold=0.0))
+    poses = {}
+    for name, c in (("hybrid", cfg), ("pure", pure)):
+        odo = Odometry(c, capacity=CAPACITY, seed=0)
+        for s in scans:
+            odo.process_scan(s)
+        poses[name] = odo.poses()
+    d = np.linalg.norm(poses["hybrid"][:, :3, 3] - poses["pure"][:, :3, 3], axis=1)
+    assert d.max() < 0.01, f"hybrid refresh diverged from full re-search: {d}"
+    ate = evaluate.ate_rmse(poses["hybrid"], gtr, align=False)
+    assert ate < 0.15, ate

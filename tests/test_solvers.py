@@ -381,3 +381,26 @@ def test_iteration_cap_warnings():
         _build_match_solve(cfg_with(cfgmod.SolveConfig(
             method="Teaser", teaser=cfgmod.TeaserConfig(
                 rotation_estimation_algorithm="NOPE"))))
+
+
+def test_staged_ransac_bit_identical_to_unstaged(rng):
+    """The staged early-exit evaluation (solve_ransac stage=256) must be
+    BIT-IDENTICAL to the single-pass form (stage=0) — the staging only
+    changes which hypotheses are materialized, never the sequential-
+    semantics winner (solver.cpp:316-326). Covers both regimes: stage A
+    succeeding (few outliers -> min_inliers reached in the prefix) and
+    stage A failing (many outliers + high min_inliers -> full sweep)."""
+    for n_out, min_pct in ((50, 0.6), (260, 0.97)):
+        s, d, n, valid, R, t = planar_problem(rng, n=600, n_outliers=n_out)
+        key = jax.random.PRNGKey(7)
+        args = (jnp.asarray(s), jnp.asarray(d), jnp.asarray(n),
+                jnp.asarray(valid), key)
+        kw = dict(max_iterations=800, distance_threshold=0.1,
+                  min_inliers_percentage=min_pct, huber_threshold=0.648,
+                  final_solve_method="LS", ls_threshold=0.02,
+                  drpm_threshold=0.05, drpm_stdev_points=0.02,
+                  drpm_stdev_normals=0.05)
+        T_staged, ok_staged = solvers.solve_ransac(*args, stage=256, **kw)
+        T_full, ok_full = solvers.solve_ransac(*args, stage=0, **kw)
+        assert bool(ok_staged) == bool(ok_full)
+        np.testing.assert_array_equal(np.asarray(T_staged), np.asarray(T_full))

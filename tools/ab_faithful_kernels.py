@@ -69,11 +69,14 @@ def run_retry(label, env_extra, tries=2):
 
 def main():
     # Interleave the arms so link drift averages out of the comparison.
-    # Verdict of the round-4 run: default (old XLA paths) 18.5/18.6 vs both
-    # new kernels 15.6/15.7 scans/s — the new kernels are opt-in since.
+    # Round-4 run: XLA paths 18.5/18.6 vs both new kernels 15.6/15.7 —
+    # kernels made opt-in. Round-5 re-run (after hybrid refresh + staged
+    # RANSAC shrank the ICP side): pallas_cylinder 21.0/19.1 vs xla 19.2/16.9
+    # vs fused_kd 13.8/12.7 — pallas cylinder became the TPU default
+    # (ops/sampling.py::_PALLAS_CYLINDER); fused_kd stays opt-in-off.
     results = {}
-    arms = [("default", {}),
-            ("pallas_cylinder", {"PLO_PALLAS_CYLINDER": "1"}),
+    arms = [("default (pallas cylinder)", {}),
+            ("xla_cylinder", {"PLO_PALLAS_CYLINDER": "0"}),
             ("fused_kd", {"PLO_FUSED_KD": "1"})]
     for rnd in range(2):
         for name, env in arms:
