@@ -256,3 +256,97 @@ def cylinder_stats(query: jnp.ndarray, normal: jnp.ndarray,
         interpret=interpret,
     )(qT, nT, tT)
     return (cnt.reshape(-1)[:q].astype(jnp.int32), dsum.reshape(-1)[:q])
+
+
+def _fps_kernel(steps_ref, x_ref, y_ref, z_ref, occ_ref, rank_ref, *,
+                max_rank: int):
+    """Batched per-bin farthest-first traversal, ALL bins x ALL steps inside
+    ONE kernel invocation. The XLA while_loop form pays per-step dispatch
+    (~25 us x up to `needed` steps = the 5.4 ms 'per-bin FPS' row of
+    tools/profile_faithful_variants.py); here every step is a handful of VPU
+    passes over the VMEM-resident [B, C] tables. Selection of the picked
+    point's coordinates uses a one-hot masked sum (TPU has no cheap per-row
+    lane gather); ties in argmax resolve to the lowest index, matching
+    jnp.argmax in ops.sampling.fps_rank_within_bins (the oracle)."""
+    occ = occ_ref[:, :] > 0.5                         # [B, C]
+    x = x_ref[:, :]
+    y = y_ref[:, :]
+    z = z_ref[:, :]
+    B, C = x.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    neg_inf = jnp.float32(-jnp.inf)
+
+    def argmax_first(v):
+        """Row argmax returning the LOWEST index among ties ([B, C] -> [B])."""
+        m = jnp.max(v, axis=1, keepdims=True)
+        hit = v >= m                                   # all-(-inf) rows: all hit
+        return jnp.min(jnp.where(hit, col, C), axis=1)
+
+    def d2_to(sel):                                    # sel: [B] slot ids
+        one = col == sel[:, None]
+        sx = jnp.sum(jnp.where(one, x, 0.0), axis=1, keepdims=True)
+        sy = jnp.sum(jnp.where(one, y, 0.0), axis=1, keepdims=True)
+        sz = jnp.sum(jnp.where(one, z, 0.0), axis=1, keepdims=True)
+        dx = x - sx
+        dy = y - sy
+        dz = z - sz
+        return dx * dx + dy * dy + dz * dz
+
+    first = argmax_first(jnp.where(occ, 1.0, 0.0))
+    any_occ = jnp.any(occ, axis=1)
+    is_first = col == first[:, None]
+    min_d = jnp.where(occ & ~is_first, d2_to(first), neg_inf)
+    ranks = jnp.where(is_first & any_occ[:, None], 0, max_rank)
+
+    steps = steps_ref[0]
+
+    def body(i, carry):
+        ranks, min_d = carry
+        nxt = argmax_first(min_d)
+        nxt_c = jnp.minimum(nxt, C - 1)
+        has = jnp.max(min_d, axis=1) > neg_inf
+        is_nxt = col == nxt_c[:, None]
+        ranks = jnp.where(is_nxt & has[:, None], i, ranks)
+        new_min = jnp.where(is_nxt, neg_inf,
+                            jnp.minimum(min_d,
+                                        jnp.where(occ, d2_to(nxt_c), neg_inf)))
+        min_d = jnp.where(has[:, None], new_min, min_d)
+        return ranks, min_d
+
+    ranks, _ = jax.lax.fori_loop(1, steps, body, (ranks, min_d))
+    rank_ref[:, :] = ranks
+
+
+@partial(jax.jit, static_argnames=("max_rank", "interpret"))
+def fps_ranks(table_xyz: jnp.ndarray, table_occ: jnp.ndarray, steps,
+              max_rank: int, interpret: bool = False):
+    """Pallas form of the batched-bin farthest-first rank table:
+    table_xyz [B, C, 3], table_occ [B, C] (bool/float), steps (traced i32 =
+    1 + number of rank-assignment iterations, i.e. ranks 0..steps-1 get
+    assigned) -> ranks [B, C] i32 (max_rank where unassigned). Semantics ==
+    the while_loop in ops.sampling.fps_rank_within_bins."""
+    B, C, _ = table_xyz.shape
+    steps_arr = jnp.asarray(steps, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((B, C), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, C), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, C), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, C), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, C), lambda i, s: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = partial(_fps_kernel, max_rank=max_rank)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, C), jnp.int32),
+        interpret=interpret,
+    )(steps_arr,
+      table_xyz[:, :, 0],
+      table_xyz[:, :, 1],
+      table_xyz[:, :, 2],
+      table_occ.astype(jnp.float32))

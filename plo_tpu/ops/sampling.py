@@ -44,6 +44,9 @@ INF = jnp.inf
 # PLO_PALLAS_CYLINDER=0 to fall back to the pure-XLA scan form (the kernel's
 # oracle, tests/test_pallas_nn.py).
 _PALLAS_CYLINDER = os.environ.get("PLO_PALLAS_CYLINDER", "1") != "0"
+# Same contract for the batched-bin FPS kernel (PLO_PALLAS_FPS=0 falls back
+# to the XLA while_loop form — the kernel's oracle).
+_PALLAS_FPS = os.environ.get("PLO_PALLAS_FPS", "1") != "0"
 
 
 def compact_indices(keep: jnp.ndarray, size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -337,6 +340,20 @@ def fps_rank_within_bins(xyz: jnp.ndarray, bins: jnp.ndarray, member: jnp.ndarra
     src_index = (jnp.full((n_bins * bin_capacity + 1,), p, jnp.int32)
                  .at[dest].set(jnp.arange(p, dtype=jnp.int32))[:-1]
                  .reshape(n_bins, bin_capacity))
+
+    if jax.default_backend() == "tpu" and _PALLAS_FPS:
+        # All bins x all steps inside ONE Pallas kernel: the XLA while_loop
+        # below pays per-step dispatch overhead (~25 us x needed steps — the
+        # 5.4 ms 'per-bin FPS' knockout row), the kernel runs every step on
+        # the VMEM-resident [B, C] tables (tests/test_pallas_nn.py pins
+        # interpret-mode equality with the while_loop form).
+        from plo_tpu.ops import pallas_nn
+        n_steps = (max_rank if needed is None
+                   else jnp.minimum(jnp.asarray(needed, jnp.int32), max_rank))
+        bin_ranks = pallas_nn.fps_ranks(table_xyz, table_occ, n_steps, max_rank)
+        flat_rank = jnp.full((p + 1,), max_rank, jnp.int32).at[
+            src_index.reshape(-1)].set(bin_ranks.reshape(-1))[:p]
+        return jnp.where(member, flat_rank, max_rank), counts
 
     occ = table_occ > 0.5                               # [B, C]
     col = jnp.arange(bin_capacity, dtype=jnp.int32)[None, :]

@@ -1,5 +1,6 @@
 """Pallas anchor-search kernels vs the XLA reference engine (interpret mode on
 CPU; the same kernels compile natively on TPU)."""
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -61,3 +62,52 @@ def test_pallas_cylinder_stats_matches_xla(rng):
     # f32 tolerance.
     np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
     np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), rtol=2e-5, atol=1e-4)
+
+
+def test_pallas_fps_ranks_matches_xla_loop(rng):
+    """The batched-bin FPS kernel vs the XLA while_loop form it replaces
+    (ops.sampling.fps_rank_within_bins): identical rank tables on random
+    bins, both with a full traversal and with an early `needed` stop."""
+    from plo_tpu.ops import sampling
+
+    p, n_bins, cap = 3000, 16, 256
+    xyz = rng.uniform(-20, 20, (p, 3)).astype(np.float32)
+    bins = rng.integers(0, n_bins, p).astype(np.int32)
+    member = rng.random(p) < 0.7
+    key = jax.random.PRNGKey(3)
+
+    for needed in (None, 40):
+        # Force the XLA form via the module toggle (import-time constant, so
+        # patch the symbol, not the env).
+        old = sampling._PALLAS_FPS
+        sampling._PALLAS_FPS = False
+        try:
+            r_xla, c_xla = sampling.fps_rank_within_bins(
+                jnp.asarray(xyz), jnp.asarray(bins), jnp.asarray(member), key,
+                n_bins, bin_capacity=cap, max_rank=200, needed=needed)
+        finally:
+            sampling._PALLAS_FPS = old
+        # The kernel in interpret mode through the same table construction:
+        # replicate the prelude, then call fps_ranks directly.
+        scores = jax.random.uniform(key, (p,))
+        rank0, _ = sampling._rank_within_bins(
+            jnp.asarray(bins), jnp.asarray(member), scores, n_bins)
+        slot_ok = jnp.asarray(member) & (rank0 < cap)
+        dest = jnp.where(slot_ok, jnp.clip(jnp.asarray(bins), 0, n_bins - 1) * cap + rank0,
+                         n_bins * cap)
+        table_xyz = (jnp.zeros((n_bins * cap + 1, 3), jnp.float32)
+                     .at[dest].set(jnp.asarray(xyz)).reshape(-1, 3)[:-1]
+                     .reshape(n_bins, cap, 3))
+        table_occ = (jnp.zeros((n_bins * cap + 1,), jnp.float32)
+                     .at[dest].set(1.0)[:-1].reshape(n_bins, cap))
+        src_index = (jnp.full((n_bins * cap + 1,), p, jnp.int32)
+                     .at[dest].set(jnp.arange(p, dtype=jnp.int32))[:-1]
+                     .reshape(n_bins, cap))
+        n_steps = 200 if needed is None else min(needed, 200)
+        bin_ranks = pallas_nn.fps_ranks(table_xyz, table_occ,
+                                        jnp.asarray(n_steps, jnp.int32),
+                                        max_rank=200, interpret=True)
+        flat = jnp.full((p + 1,), 200, jnp.int32).at[src_index.reshape(-1)].set(
+            bin_ranks.reshape(-1))[:p]
+        r_pallas = jnp.where(jnp.asarray(member), flat, 200)
+        np.testing.assert_array_equal(np.asarray(r_xla), np.asarray(r_pallas))
