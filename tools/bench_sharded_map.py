@@ -9,6 +9,13 @@ scales" scaling argument in BASELINE.md.
 Run on CPU (the environment has one TPU chip; sharding needs a mesh):
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python tools/bench_sharded_map.py
+
+Caveat for the `sharded batched` row: the CPU runtime executes each virtual
+device's SPMD program on ONE thread, so the batched driver's replicated
+in-scan front-end loses the intra-op threadpool that the per-frame path's
+local jit uses — it measures 4-5x slower HERE (invariant to mesh size and
+FE layout pinning), which is a virtual-mesh artifact, not a design cost; see
+BASELINE.md's sharding-overhead section.
 """
 import os
 import sys
@@ -50,13 +57,21 @@ def main():
     )
     world = synthetic.SyntheticWorld.corridor(seed=7, n_boxes=140, extent=120.0)
     scans, _ = synthetic.synthetic_sequence(
-        16, n_scans=32, azimuth_steps=450, speed=0.5, yaw_rate=0.01, seed=3,
+        18, n_scans=32, azimuth_steps=450, speed=0.5, yaw_rate=0.01, seed=3,
         world=world)
 
-    def run(make):
+    def run(make, batched=False):
         odo = make()
         for s in scans[:6]:   # warm (compile + map fill)
             odo.process_scan(s)
+        if batched:  # warm the batch program at the SAME batch size it times
+            odo.process_scans(scans[6:10], batch=4)
+            odo.sync() if hasattr(odo, "sync") else None
+            t0 = time.perf_counter()
+            odo.process_scans(scans[10:18], batch=4)
+            odo.finalize()
+            dt = time.perf_counter() - t0
+            return 8, dt, odo.poses()
         odo.sync() if hasattr(odo, "sync") else None
         t0 = time.perf_counter()
         for s in scans[6:]:
@@ -75,11 +90,15 @@ def main():
     mesh = get_mesh(4)
     n8, t8, p8 = run(lambda: ShardedMapOdometry(cfg, mesh, capacity=16384,
                                                 seed=0, defer_fetch=True))
+    nb, tb, pb = run(lambda: ShardedMapOdometry(cfg, mesh, capacity=16384,
+                                                seed=0, defer_fetch=True),
+                     batched=True)
     dmax = float(np.linalg.norm(p1[:, :3, 3] - p8[:, :3, 3], axis=1).max())
-    print(f"single-device map mode : {n1 / t1:6.2f} scans/s ({t1 / n1 * 1e3:.1f} ms/frame)")
-    print(f"sharded map (4-dev CPU): {n8 / t8:6.2f} scans/s ({t8 / n8 * 1e3:.1f} ms/frame)")
-    print(f"intra-process sharding overhead: {t8 / t1:.2f}x; "
-          f"trajectory max |dt| {dmax * 1e3:.2f} mm")
+    print(f"single-device map mode    : {n1 / t1:6.2f} scans/s ({t1 / n1 * 1e3:.1f} ms/frame)")
+    print(f"sharded per-frame (4-dev) : {n8 / t8:6.2f} scans/s ({t8 / n8 * 1e3:.1f} ms/frame)")
+    print(f"sharded batched   (4-dev) : {nb / tb:6.2f} scans/s ({tb / nb * 1e3:.1f} ms/frame)")
+    print(f"intra-process sharding overhead: per-frame {(t8 / n8) / (t1 / n1):.2f}x, "
+          f"batched {(tb / nb) / (t1 / n1):.2f}x; trajectory max |dt| {dmax * 1e3:.2f} mm")
 
 
 if __name__ == "__main__":
