@@ -121,3 +121,68 @@ def load(odo: "Odometry", path: str):
                                  for n in ("s", "y", "n", "v"))
             odo._ba_corr[k] = (rec_prev, rec_skip)
     return odo
+
+
+def save_sharded(sodo, path: str):
+    """Snapshot a ShardedMapOdometry: the sharded map cloud is fetched to
+    host in SHARD-AGNOSTIC form (one flat padded cloud — the voxel-dedupe
+    state is content-derived, so no per-shard bookkeeping needs saving),
+    plus the replicated pose chain. Resume may use a DIFFERENT mesh size:
+    load_sharded repartitions the cloud for the target instance's mesh
+    (elastic resume — a production pod can restart on fewer/more chips)."""
+    sodo._drain()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    state = {
+        "prev_pose": sodo.prev_pose,
+        "frame_count": np.asarray(sodo.frame_count),
+        "key_counter": np.asarray(sodo._key_counter),
+        "world_pose": np.asarray(sodo._world_dev),
+    }
+    if sodo._last_rel is not None:
+        state["last_rel"] = np.asarray(sodo._last_rel)
+    for field in ("xyz", "normal", "intensity", "curvature", "eigvals", "valid"):
+        state[f"map_{field}"] = np.asarray(getattr(sodo.store.cloud, field))
+    if sodo.last_filtered is not None:
+        for field in ("xyz", "normal", "intensity", "curvature", "eigvals", "valid"):
+            state[f"last_{field}"] = np.asarray(getattr(sodo.last_filtered, field))
+    np.savez_compressed(path, **state)
+
+
+def load_sharded(sodo, path: str):
+    """Restore a snapshot into a ShardedMapOdometry built with the same
+    config but possibly a different mesh: the flat map cloud is repartitioned
+    by the target's own spatial block hash (exact — blocks are voxel-aligned,
+    so per-shard dedupe semantics carry over unchanged)."""
+    data = np.load(path)
+    sodo.prev_pose = data["prev_pose"]
+    sodo.frame_count = int(data["frame_count"])
+    sodo._key_counter = int(data["key_counter"])
+
+    def cloud_from(prefix):
+        return PointCloud(
+            xyz=jnp.asarray(data[f"{prefix}_xyz"]),
+            normal=jnp.asarray(data[f"{prefix}_normal"]),
+            intensity=jnp.asarray(data[f"{prefix}_intensity"]),
+            curvature=jnp.asarray(data[f"{prefix}_curvature"]),
+            eigvals=jnp.asarray(data[f"{prefix}_eigvals"]),
+            valid=jnp.asarray(data[f"{prefix}_valid"]),
+        )
+
+    flat_map = cloud_from("map")
+    # Repartition for THIS mesh (n_shards may differ from the saver's).
+    import jax as _jax
+    from plo_tpu.parallel.map_store import partition_cloud as _partition
+
+    part = _jax.jit(
+        lambda c: _partition(c, sodo.n_shards, sodo.store.per_shard,
+                             base_cell=sodo._base_cell,
+                             block_factor=sodo._block_factor)[0],
+        out_shardings=sodo._shard_spec)
+    sodo.store.cloud = part(flat_map)
+    sodo._world_dev = sodo.store._to_repl(jnp.asarray(data["world_pose"]))
+    if "last_rel" in data:
+        sodo._last_rel = sodo.store._to_repl(jnp.asarray(data["last_rel"]))
+    if "last_xyz" in data:
+        sodo.last_filtered = cloud_from("last")
+        sodo._last_from_local = True
+    return sodo

@@ -43,3 +43,72 @@ def test_sharded_knn_exact(rng):
     got_xyz = np.asarray(store.cloud.xyz)[np.asarray(gidx)]
     dd = ((q[:, None, :] - got_xyz) ** 2).sum(-1)
     np.testing.assert_allclose(dd, np.asarray(d2), rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_checkpoint_elastic_resume():
+    """Sharded checkpoint/resume (production restart story): save mid-run,
+    restore on the SAME mesh (trajectory must continue identically) and on a
+    DIFFERENT mesh size (elastic resume — the map repartitions by the same
+    voxel-aligned block hash, so the continued trajectory matches to
+    collective-reassociation tolerance)."""
+    import dataclasses as dc
+    from plo_tpu import config as cfgmod
+    from plo_tpu.io import synthetic
+    from plo_tpu.parallel import ShardedMapOdometry, get_mesh
+    from plo_tpu.utils import checkpoint
+    import tempfile, os
+
+    cfg = cfgmod.Config(
+        scan_registration=cfgmod.ScanRegistrationConfig(
+            sample_method=cfgmod.SampleConfig(
+                method="random", random=cfgmod.RandomSampleConfig(max_points=600)),
+        ),
+        laser_odometry=cfgmod.LaserOdometryConfig(
+            target_mode="map",
+            map=cfgmod.MapConfig(voxel_size=0.4, capacity=8192),
+            matching_method=cfgmod.MatchingConfig(method="IMLS"),
+            solve_method=cfgmod.SolveConfig(
+                method="RANSAC", iterations=30,
+                ransac=cfgmod.RANSACConfig(max_iterations=200,
+                                           distance_threshold=0.2,
+                                           final_solve_method="DRPM")),
+            refresh_correspondences=False,
+        ),
+        sensor=cfgmod.SensorConfig(n_scans=16, azimuth_resolution=2.0),
+    )
+    from plo_tpu.io.synthetic import SyntheticWorld
+    world = SyntheticWorld.corridor(seed=7, n_boxes=60, extent=30.0)
+    scans, _ = synthetic.synthetic_sequence(
+        9, n_scans=16, azimuth_steps=180, speed=0.4, yaw_rate=0.01, seed=3,
+        world=world)
+
+    mesh8 = get_mesh(8)
+    full = ShardedMapOdometry(cfg, mesh8, capacity=4096, seed=0)
+    for s in scans:
+        full.process_scan(s)
+    p_full = full.poses()
+
+    half = ShardedMapOdometry(cfg, mesh8, capacity=4096, seed=0)
+    for s in scans[:6]:
+        half.process_scan(s)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "ckpt.npz")
+        checkpoint.save_sharded(half, path)
+
+        # (a) same mesh: bit-compatible continuation.
+        res = ShardedMapOdometry(cfg, mesh8, capacity=4096, seed=0)
+        checkpoint.load_sharded(res, path)
+        for s in scans[6:]:
+            res.process_scan(s)
+        p_res = np.stack([f.pose for f in res.trajectory])
+        d = np.linalg.norm(p_full[6:, :3, 3] - p_res[:, :3, 3], axis=1)
+        assert d.max() < 1e-5, d
+
+        # (b) elastic: restore on a 4-device mesh.
+        res4 = ShardedMapOdometry(cfg, get_mesh(4), capacity=4096, seed=0)
+        checkpoint.load_sharded(res4, path)
+        for s in scans[6:]:
+            res4.process_scan(s)
+        p4 = np.stack([f.pose for f in res4.trajectory])
+        d4 = np.linalg.norm(p_full[6:, :3, 3] - p4[:, :3, 3], axis=1)
+        assert d4.max() < 5e-3, d4

@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--port", type=int, required=True)
     ap.add_argument("--local-devices", type=int, default=4)
     ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--batched", action="store_true",
+                    help="drive frames through the batched lax.scan sharded "
+                         "driver (process_scans) instead of per-frame calls")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -71,8 +74,11 @@ def main():
 
     mesh = global_mesh()
     sodo = ShardedMapOdometry(cfg, mesh, capacity=8192, seed=0, defer_fetch=True)
-    for s in scans:
-        sodo.process_scan(s)
+    if args.batched:
+        sodo.process_scans(scans, batch=max(2, (args.frames - 1) // 2))
+    else:
+        for s in scans:
+            sodo.process_scan(s)
     poses = sodo.poses()
     print(f"[proc {pid}] {len(poses)} frames, final t={poses[-1][:3, 3]}",
           flush=True)
