@@ -27,7 +27,7 @@ _CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))
                       ".kitti_protocol_scans_v1.npz")
 
 
-def build_sequence(small: bool):
+def build_sequence(small: bool, laps: int = 1):
     from plo_tpu.io import synthetic
 
     # Turn rates: 90 deg over n_turn frames. 48 frames = 1.875 deg/frame =
@@ -41,10 +41,12 @@ def build_sequence(small: bool):
     else:
         n_scans, az, n_straight, n_turn, speed = 64, 900, 20, 48, 1.2
     speeds, yaw_rates = synthetic.rectangle_loop_profile(
-        n_straight=n_straight, n_turn=n_turn, speed=speed)
+        n_straight=n_straight, n_turn=n_turn, speed=speed, laps=laps)
     n_frames = len(speeds)
     cache = _CACHE if not small else _CACHE.replace("_v1", "_small_v1")
     cache = cache.replace("_v1", "_v4")  # v4: ramped+smoothed profile
+    if laps != 1:
+        cache = cache.replace(".npz", f"_laps{laps}.npz")
     if os.path.exists(cache):
         try:
             d = np.load(cache)
@@ -103,6 +105,12 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the image pins the axon TPU "
                          "platform even over JAX_PLATFORMS)")
+    ap.add_argument("--close-loops", action="store_true",
+                    help="also apply loop closure (models/loopclosure.py) "
+                         "and report the corrected metrics")
+    ap.add_argument("--laps", type=int, default=1,
+                    help="laps around the rectangle (2+ = every segment is "
+                         "revisited; the loop-closure showcase)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -111,7 +119,7 @@ def main():
 
     from plo_tpu import config as cfgmod
 
-    scans, gt = build_sequence(args.small)
+    scans, gt = build_sequence(args.small, laps=args.laps)
     dist = np.concatenate([[0], np.cumsum(np.linalg.norm(
         np.diff(gt[:, :3, 3], axis=0), axis=1))])
     closure = np.linalg.norm(gt[-1, :3, 3] - gt[0, :3, 3])
@@ -167,6 +175,14 @@ def main():
         rec["scans_per_sec"] = round(rate, 2)
         results.append(rec)
         print(json.dumps(rec))
+        if args.close_loops:
+            from plo_tpu.models import loopclosure as lc_mod
+            corrected, loop_edges = lc_mod.close_loops(
+                cfg, scans, est, min_gap=80, radius=5.0, capacity=capacity)
+            rec2 = evaluate_run(name + "+loopclosure", corrected, gt, lengths)
+            rec2["loop_edges"] = [(int(i), int(j), int(n))
+                                  for i, j, _, n in loop_edges]
+            print(json.dumps(rec2))
 
 
 if __name__ == "__main__":
