@@ -160,8 +160,12 @@ def close_loops(cfg, scans, poses: np.ndarray,
     needed = sorted({i for i, _ in pairs} | {j for _, j in pairs})
     fe_cache = {}
     for idx, f in enumerate(needed):
+        # first_frame=True: the frame-1 sampling fallback (normal binning for
+        # major_axis configs) — keyframes are recomputed standalone, with no
+        # previous-frame cloud for the cylinder-weighted sampler to scan.
+        # Any valid sampled subset serves loop registration equally.
         fe_cache[f] = frontend.process(scans[f], jax.random.fold_in(key, idx),
-                                       None, first_frame=False)
+                                       None, first_frame=True)
 
     loop_edges = []
     for pi, (i, j) in enumerate(pairs):
