@@ -46,6 +46,10 @@ def build_parser():
     p.add_argument("--batch", type=int, default=1,
                    help="frames per device dispatch (the batched on-device "
                         "loop; >1 requires max_queue_size==1)")
+    p.add_argument("--close-loops", action="store_true",
+                   help="post-run loop closure: revisit detection + keyframe "
+                        "re-registration + pose-graph relax "
+                        "(models/loopclosure.py)")
     p.add_argument("--target-mode", choices=["window", "map"], default=None,
                    help="override the target model: reference window or "
                         "persistent voxel map (frame-to-map)")
@@ -116,6 +120,10 @@ def main(argv=None):
         checkpoint.load(odo, args.resume)
         print(f"resumed at frame {odo.frame_count}")
     tic = TicToc()
+    if args.close_loops:
+        # Loop closure re-reads the revisit keyframes' raw scans after the
+        # run; materialize the stream (KITTI scans arrive as a generator).
+        scans = list(scans)
     if args.batch > 1:
         scan_list = list(scans)
         odo.process_scans(scan_list, batch=args.batch)
@@ -154,6 +162,14 @@ def main(argv=None):
 
     import numpy as np
     poses = odo.poses()
+    if args.close_loops:
+        from plo_tpu.models import loopclosure as lc_mod
+        corrected, loop_edges = lc_mod.close_loops(
+            cfg, scans, poses, capacity=args.capacity)
+        print(f"loop closure: {len(loop_edges)} edge(s) "
+              f"{[(i, j) for i, j, _, _ in loop_edges]}")
+        if loop_edges:
+            poses = corrected
     if outdir:
         evaluate.save_tum(poses, [f.index * cfg.sensor.scan_period for f in odo.trajectory],
                           os.path.join(outdir, "trajectory_tum.txt"))
@@ -165,7 +181,13 @@ def main(argv=None):
         gtr = np.einsum("ij,njk->nik", np.linalg.inv(gtw[0]), gtw)
         ate = evaluate.ate_rmse(poses, gtr, align=False)
         terr, rerr = evaluate.rpe(poses, gtr)
-        print(json.dumps({"ate_m": ate, "rpe_trans_m": terr, "rpe_rot_rad": rerr}))
+        t_drift, r_drift, per_len = evaluate.kitti_odometry_errors(poses, gtr)
+        rec = {"ate_m": ate, "rpe_trans_m": terr, "rpe_rot_rad": rerr}
+        if per_len:
+            rec["kitti_t_drift_pct"] = round(t_drift * 100, 4)
+            rec["kitti_r_drift_deg_per_100m"] = round(
+                float(np.degrees(r_drift)) * 100, 4)
+        print(json.dumps(rec))
     return 0
 
 
