@@ -187,14 +187,138 @@ def _fused_adjacent_window(cloud: RingCloud, packed: jnp.ndarray, offset: int,
 # process-startup-only (tools/ab_faithful_kernels.py A/Bs via subprocesses);
 # tests thread `fused_kd` explicitly instead of mutating the environment.
 _FUSED_KD_DEFAULT = bool(os.environ.get("PLO_FUSED_KD"))
+# Gather-free rolled-arc kd mode (see _rolled_adjacent_window): DEFAULT ON
+# since round 5 — the interleaved end-to-end A/B measured the faithful
+# pipeline at 32.8/32.1 scans/s vs 22.7/21.7 for the two-gather form
+# (tools/ab_faithful_kernels.py), and the produced normals match the
+# default path to 1e-7 on real ring data (equal-occupancy rings make the
+# resampling stride exactly 1). PLO_ROLLED_KD=0 restores the two-gather
+# form (the parity oracle).
+_ROLLED_KD = os.environ.get("PLO_ROLLED_KD", "1") != "0"
+# Window form inside the rolled path: "exact" gathers the +-window rows at
+# the found target index (0.1%-level deviation, pays one [P, Wn, 5] gather
+# per adjacent ring); "masked" selects window slots from the rolls
+# (gather-free, fastest, ~1% degraded normals on occupancy-mismatched rings
+# at 32-beam sparsity). Default picked by end-to-end A/B, see
+# tools/ab_faithful_kernels.py.
+_ROLLED_WINDOW_EXACT = os.environ.get("PLO_ROLLED_WINDOW", "exact") == "exact"
+
+
+def _rolled_adjacent_window(cloud: RingCloud, packed: jnp.ndarray, offset: int,
+                            knn_threshold: float, window_size: int,
+                            iter_step: int, eligible: jnp.ndarray,
+                            search_window: int = 8,
+                            exact_window: bool = None):
+    """GATHER-FREE findNearestPoint + window on ring r+offset: ONE [P] row
+    gather resamples the adjacent ring onto the query ring's position
+    parameterization (center(p) = pos_p * tcount/qcount is monotone in p, so
+    the neighbor arc of query p+o is the resampled row p+o — a SHIFTED COPY,
+    like _window_shift's self-ring trick); the kd argmin and the +-window
+    selection then run over 2*(search_window+window_size)+1 rolls with
+    masked accumulation (no [P, W] row gathers, no take_along_axis — both
+    measured TPU slow paths).
+
+    Deviation vs the two-gather default: when adjacent-ring occupancies
+    differ (tcount != qcount) the arc samples the target ring at stride
+    tcount/qcount instead of exactly 1 — inside the scope of the
+    ring_neighbor_search kd EMULATION itself (the reference searches a real
+    kd-tree over the whole ring, scan_registration.cpp:117-136); ATE parity
+    is pinned by the faithful regression test."""
+    if exact_window is None:
+        exact_window = _ROLLED_WINDOW_EXACT
+    h = cloud.ring_start.shape[0]
+    p_cap = cloud.capacity
+    tring = cloud.ring + offset
+    tring_ok = (tring >= 0) & (tring < h)
+    tring_c = jnp.clip(tring, 0, h - 1)
+    tstart = cloud.ring_start[tring_c]
+    tcount = cloud.ring_count[tring_c]
+    qcount = jnp.maximum(cloud.ring_count[jnp.clip(cloud.ring, 0, h - 1)], 1)
+    center = (cloud.pos_in_ring.astype(jnp.float32) / qcount.astype(jnp.float32)
+              * tcount.astype(jnp.float32)).astype(jnp.int32)
+    anchor_ok = tring_ok & (center >= 0) & (center < tcount) & cloud.valid
+    base_flat = jnp.clip(tstart + jnp.clip(center, 0, tcount - 1), 0, p_cap - 1)
+    res = packed[base_flat]                              # ONE [P, 5] gather
+    # Bake resample validity + the TARGET ring id into the row so rolls
+    # carry everything needed for masking.
+    res = res.at[:, 4].set(
+        jnp.where(anchor_ok & (res[:, 4] > 0.5), 1.0, 0.0))
+    own_tring = tring_c.astype(jnp.float32)
+
+    # Exact-window mode only needs the kd search arc; the masked-sum window
+    # additionally reaches up to window_size * qcount/tcount beyond it on
+    # occupancy-mismatched rings (+2 slack).
+    half = search_window if exact_window else search_window + window_size + 2
+    pos_idx = jnp.arange(p_cap, dtype=jnp.int32)
+    rolls_xyz, rolls_ok = [], []
+    for o in range(-half, half + 1):
+        r = jnp.roll(res, -o, axis=0)
+        in_bounds = ((pos_idx + o >= 0) & (pos_idx + o < p_cap))
+        ok = (r[:, 4] > 0.5) & in_bounds & (r[:, 3] == own_tring)
+        rolls_xyz.append(r[:, :3])
+        rolls_ok.append(ok)
+
+    # kd phase over the middle 2*search_window+1 rolls.
+    best_d2 = jnp.full((p_cap,), jnp.inf, jnp.float32)
+    best_rel = jnp.zeros((p_cap,), jnp.int32)            # s* - center, [-sw, sw]
+    for o in range(-search_window, search_window + 1):
+        i = o + half
+        diff = rolls_xyz[i] - cloud.xyz
+        d2 = jnp.where(rolls_ok[i], jnp.sum(diff * diff, axis=-1), jnp.inf)
+        take = d2 < best_d2                              # strict: first-lowest-o wins ties
+        best_d2 = jnp.where(take, d2, best_d2)
+        best_rel = jnp.where(take, o, best_rel)
+    found = jnp.isfinite(best_d2) & cloud.valid & (best_d2 < knn_threshold)
+
+    if exact_window:
+        # EXACT +-window around the found point in TARGET index space via
+        # the standard row gather: the stride deviation stays confined to
+        # candidate DISCOVERY (an anchor one slot off feeds the same exact
+        # window math) — 0.1%-level normal deviation at 32-beam sparsity.
+        found_flat = jnp.take(base_flat,
+                              jnp.clip(pos_idx + best_rel, 0, p_cap - 1))
+        return _window_gather(cloud, packed, found_flat, found & eligible,
+                              window_size, iter_step)
+
+    # Gather-free masked-sum window: slot w takes the roll at
+    # o = best_rel + round(w * qcount/tcount). Exact when adjacent ring
+    # occupancies match (the common case); on mismatched rings consecutive
+    # queries can RESAMPLE THE SAME target row (stride < 1 duplicates), which
+    # double-weights some window members — ~1% of normals land below 0.9
+    # alignment at 32-beam sparsity. Fastest form; see _ROLLED_WINDOW_EXACT
+    # for the measured end-to-end A/B that picked the default.
+    woffs = list(range(-window_size, window_size + 1, iter_step))
+    inv_stride = (qcount.astype(jnp.float32)
+                  / jnp.maximum(tcount, 1).astype(jnp.float32))
+    o_needed = (best_rel[:, None].astype(jnp.float32)
+                + jnp.round(jnp.asarray(woffs, jnp.float32)[None, :]
+                            * inv_stride[:, None])).astype(jnp.int32)
+    # At stride < 1 consecutive slots can round to the SAME roll — a
+    # duplicate window member would double-weight that target row and bias
+    # the covariance (measured ~1% of normals below 0.9 alignment at
+    # 32-beam sparsity before this guard). Invalidate duplicated slots
+    # instead: the affected points lose window members and fail the 'full'
+    # count — the pipeline's designed conservative failure — rather than
+    # getting silently wrong normals.
+    dup = jnp.concatenate(
+        [jnp.zeros((p_cap, 1), bool), jnp.diff(o_needed, axis=1) == 0], axis=1)
+    pts = jnp.zeros((p_cap, len(woffs), 3), jnp.float32)
+    msk = jnp.zeros((p_cap, len(woffs)), bool)
+    for o in range(-half, half + 1):
+        i = o + half
+        sel = (o_needed == o) & rolls_ok[i][:, None] & ~dup   # [P, Wn]
+        pts = pts + jnp.where(sel[..., None], rolls_xyz[i][:, None, :], 0.0)
+        msk = msk | sel
+    return pts, (found & eligible)[:, None] & msk
 
 
 @partial(jax.jit, static_argnames=("window_size", "iter_step", "neighbor_scan",
-                                   "use_all_points", "fused_kd"))
+                                   "use_all_points", "fused_kd", "rolled_kd"))
 def _pca_impl(cloud: RingCloud, window_size: int, iter_step: int,
               knn_distance_threshold: float, neighbor_scan: str,
               distance_threshold: float, valid_points_threshold: float,
-              use_all_points: bool, fused_kd: bool = _FUSED_KD_DEFAULT) -> NormalResult:
+              use_all_points: bool, fused_kd: bool = _FUSED_KD_DEFAULT,
+              rolled_kd: bool = _ROLLED_KD) -> NormalResult:
     n_win = len(range(-window_size, window_size + 1, iter_step))
     num = 3 * n_win  # required full count (scan_registration.cpp:161,198)
 
@@ -208,7 +332,12 @@ def _pca_impl(cloud: RingCloud, window_size: int, iter_step: int,
     # ab_faithful_kernels.py) measured the combined new-kernel build 16%
     # slower — take_along_axis on the [P, 23, 5] arc lowers worse than the
     # two straight gathers it replaces.
-    if neighbor_scan == "kdtree" and fused_kd:
+    if neighbor_scan == "kdtree" and rolled_kd:
+        p1, m1 = _rolled_adjacent_window(cloud, packed, -1, knn_distance_threshold,
+                                         window_size, iter_step, eligible)
+        p2, m2 = _rolled_adjacent_window(cloud, packed, +1, knn_distance_threshold,
+                                         window_size, iter_step, eligible)
+    elif neighbor_scan == "kdtree" and fused_kd:
         p1, m1 = _fused_adjacent_window(cloud, packed, -1, knn_distance_threshold,
                                         window_size, iter_step, eligible)
         p2, m2 = _fused_adjacent_window(cloud, packed, +1, knn_distance_threshold,

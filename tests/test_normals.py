@@ -218,3 +218,34 @@ def test_fused_kd_matches_default_kdtree_path():
     np.testing.assert_allclose(np.asarray(base.cloud.eigvals),
                                np.asarray(fused.cloud.eigvals), atol=1e-5)
     assert int(np.asarray(base.cloud.valid).sum()) > 1000
+
+
+def test_rolled_kd_matches_default_kdtree_path():
+    """Rolled-arc kd parity (the round-5 default, _rolled_adjacent_window):
+    on equal-occupancy adjacent rings the resampling stride is exactly 1 and
+    the gather-free form must reproduce the two-gather kd path; real scans
+    have near-equal ring occupancies, so outputs agree to float tolerance
+    (valid sets equal, normals aligned). Ring-occupancy mismatches (the
+    stride deviation) are the documented kd-EMULATION scope — ATE parity
+    under them is pinned by the faithful regression."""
+    rc = preprocessed_scan(seed=9)
+    cfg = cfgmod.PCAConfig()
+    kw = dict(
+        window_size=cfg.window_size, iter_step=cfg.iter_step,
+        knn_distance_threshold=cfg.knn_distance_threshold,
+        neighbor_scan="kdtree",
+        distance_threshold=cfg.plane_constraint.distance_threshold,
+        valid_points_threshold=cfg.plane_constraint.valid_points_threshold,
+        use_all_points=True, fused_kd=False,
+    )
+    base = normals._pca_impl(rc, rolled_kd=False, **kw)
+    rolled = normals._pca_impl(rc, rolled_kd=True, **kw)
+    vb = np.asarray(base.cloud.valid)
+    vr = np.asarray(rolled.cloud.valid)
+    # Valid sets agree except at stride-deviation points (ring dropouts).
+    assert (vb == vr).mean() > 0.995, (vb.sum(), vr.sum())
+    both = vb & vr
+    dot = np.abs(np.sum(np.asarray(base.cloud.normal)[both]
+                        * np.asarray(rolled.cloud.normal)[both], axis=1))
+    assert np.median(dot) > 0.9999
+    assert (dot > 0.99).mean() > 0.995, (dot > 0.99).mean()

@@ -4,9 +4,9 @@ whose own BASELINE understates (or overstates) it is broken instrumentation.
 
 Runs `tools/bench_faithful.py --driver batched` in a subprocess with the
 conftest's CPU pin removed so it reaches the real chip; skipped when no TPU
-is attached (CI on CPU hosts). The floor is 15 scans/s against the published
-17.7: the documented ±20% axon-link session drift (BASELINE.md measurement
-discipline #3) must not trip it.
+is attached (CI on CPU hosts). The floor is 24 scans/s against the published
+~28 (rolled-arc kd round-5 default): the documented ±20% axon-link session
+drift (BASELINE.md measurement discipline #3) must not trip it.
 """
 import json
 import os
@@ -40,6 +40,6 @@ def test_faithful_perf_floor_on_chip():
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     rec = json.loads(line)
     assert rec["metric"] == "scans_per_sec_faithful_batched"
-    assert rec["value"] >= 15.0, (
+    assert rec["value"] >= 24.0, (
         f"faithful-config throughput regressed to {rec['value']} scans/s "
-        "(published 17.7, floor 15.0 = published minus link drift)")
+        "(published ~28, floor 24.0 = published minus link drift)")

@@ -75,9 +75,9 @@ def main():
     # vs fused_kd 13.8/12.7 — pallas cylinder became the TPU default
     # (ops/sampling.py::_PALLAS_CYLINDER); fused_kd stays opt-in-off.
     results = {}
-    arms = [("default (pallas cylinder)", {}),
-            ("xla_cylinder", {"PLO_PALLAS_CYLINDER": "0"}),
-            ("fused_kd", {"PLO_FUSED_KD": "1"})]
+    arms = [("two_gather_kd", {"PLO_ROLLED_KD": "0"}),
+            ("rolled_exact_window", {"PLO_ROLLED_WINDOW": "exact"}),
+            ("rolled_masked_window", {"PLO_ROLLED_WINDOW": "masked"})]
     for rnd in range(2):
         for name, env in arms:
             results.setdefault(name, []).append(run_retry(f"{name} (r{rnd})", env))
