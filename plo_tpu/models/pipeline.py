@@ -175,7 +175,12 @@ class FrontEnd:
             eigvecs = None
             if self.format == "pointcloud":
                 if self.normal_method == "pca":
-                    nres = normals_ops.compute_normals_pca(rc, cn.pca, sr.use_all_points)
+                    nres = normals_ops.compute_normals_pca(
+                        rc, cn.pca, sr.use_all_points,
+                        # The tensor-voting saliency cascade consumes the full
+                        # eigen-pairs and is sensitive to the rolled kd path's
+                        # anchor deviation — keep it on the exact form.
+                        exact_kd=(self.presample_method == "tensor_voting"))
                 elif self.normal_method == "cross_product":
                     nres = normals_ops.compute_normals_cross_product(rc, cn.cross_product)
                 else:

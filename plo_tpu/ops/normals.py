@@ -396,11 +396,19 @@ def _pca_impl(cloud: RingCloud, window_size: int, iter_step: int,
     return NormalResult(cloud=out, eigvecs=eigvecs, plane_fail=plane_fail)
 
 
-def compute_normals_pca(cloud: RingCloud, cfg: PCAConfig, use_all_points: bool) -> NormalResult:
+def compute_normals_pca(cloud: RingCloud, cfg: PCAConfig, use_all_points: bool,
+                        exact_kd: bool = False) -> NormalResult:
+    """exact_kd=True forces the two-gather kd path regardless of the rolled
+    default — for consumers of the full EIGEN-PAIRS (the tensor-voting
+    saliency cascade), where the rolled path's 0.3%-of-points anchor
+    deviation measurably perturbs the vote field (an e2e tensor-voting
+    collapse at 32-beam test sparsity pinned this; normals-only consumers
+    are insensitive — see test_rolled_kd_matches_default_kdtree_path)."""
     return _pca_impl(
         cloud, cfg.window_size, cfg.iter_step, cfg.knn_distance_threshold,
         cfg.neighbor_scan, cfg.plane_constraint.distance_threshold,
         cfg.plane_constraint.valid_points_threshold, use_all_points,
+        rolled_kd=False if exact_kd else _ROLLED_KD,
     )
 
 
