@@ -104,6 +104,20 @@ def main():
                                secs=round(time.time() - t0, 1))
                     rows.append(row)
                     print(json.dumps(row), flush=True)
+                # 36 combos x fresh XLA-CPU compiles (the persistent cache is
+                # disabled on CPU) accumulate live executables until LLVM's
+                # allocator fails ("Cannot allocate memory" -> SIGSEGV,
+                # observed once the round-5 rolled-kd variants grew the
+                # programs). Drop compiled programs + tracing caches between
+                # solver groups; the per-config lru caches
+                # (models/odometry._cached_*) hold the python closures only.
+                import jax
+                from plo_tpu.models import odometry as odom_mod
+                odom_mod._cached_frontend.cache_clear()
+                odom_mod._cached_icp_step.cache_clear()
+                odom_mod._cached_map_ops.cache_clear()
+                odom_mod._cached_batch_step.cache_clear()
+                jax.clear_caches()
 
     print("\n| presample | sampler | matching | solver | ATE (mm) | ok |")
     print("|---|---|---|---|---|---|")
