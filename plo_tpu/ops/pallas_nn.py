@@ -183,7 +183,8 @@ def projected_argmin(query: jnp.ndarray, query_normal: jnp.ndarray,
     return jnp.sqrt(jnp.where(valid, p2, jnp.inf)), idx, valid
 
 
-def _cylinder_kernel(q_ref, n_ref, t_ref, o_cnt_ref, o_sum_ref, *, rp2, r2):
+def _cylinder_kernel(live_ref, q_ref, n_ref, t_ref, o_cnt_ref, o_sum_ref, *,
+                     rp2, r2):
     """Cylinder-gate neighbor statistics (majorAxisSampling inner loop,
     scan_registration.cpp:676-701): per query, count of target points with
     ||d|| < r_proj and ||d x n|| < r, plus the summed euclidean distance.
@@ -191,8 +192,16 @@ def _cylinder_kernel(q_ref, n_ref, t_ref, o_cnt_ref, o_sum_ref, *, rp2, r2):
     query block, running (count, sum) accumulators in registers, no [Q, T]
     materialization. Math identical to ops.sampling.cylinder_stats (the XLA
     oracle): coordinate-difference d2 and the |d x n|^2 = d2 |n|^2 - (d.n)^2
-    identity."""
-    n_tiles = t_ref.shape[1] // BT
+    identity.
+
+    live_ref (scalar prefetch, [1] i32) bounds the target's VALID PREFIX:
+    the ring counting-sort (ops/preprocess.py) compacts every valid point
+    below index sum(ring_count), so tiles past ceil(live/BT) are all
+    padding (+inf coords, can never pass the d2 gate) and are skipped
+    outright — at HDL-64 occupancy that is ~23% of the capacity-padded
+    target. Callers that cannot prove a prefix pass live = capacity."""
+    n_tiles_all = t_ref.shape[1] // BT
+    n_tiles = jnp.minimum((live_ref[0] + BT - 1) // BT, n_tiles_all)
     qx = q_ref[0, :].reshape(BQ, 1)
     qy = q_ref[1, :].reshape(BQ, 1)
     qz = q_ref[2, :].reshape(BQ, 1)
@@ -228,33 +237,47 @@ def _cylinder_kernel(q_ref, n_ref, t_ref, o_cnt_ref, o_sum_ref, *, rp2, r2):
 @partial(jax.jit, static_argnames=("r_proj", "r", "interpret"))
 def cylinder_stats(query: jnp.ndarray, normal: jnp.ndarray,
                    target: jnp.ndarray, target_valid: jnp.ndarray,
-                   r_proj: float, r: float, interpret: bool = False):
+                   r_proj: float, r: float, t_live=None,
+                   interpret: bool = False):
     """Drop-in Pallas replacement for ops.sampling.cylinder_stats.
-    Returns (count [Q] i32, dist_sum [Q] f32)."""
+    Returns (count [Q] i32, dist_sum [Q] f32).
+
+    t_live (optional traced i32): upper bound on the index of the last valid
+    target row + 1. When the target layout is valid-prefix-compacted (the
+    ring counting-sort guarantees this for filtered clouds), passing
+    max(valid index)+1 lets the kernel skip whole all-padding tiles; None
+    keeps the full-capacity loop (exactly the previous behavior)."""
     qT, tT, q, t = _prep(query, target, target_valid)
     nq = normal.shape[0]
     nT = jnp.pad(normal, ((0, (-nq) % BQ), (0, 0))).T
     n_q_blocks = qT.shape[1] // BQ
+    live = (jnp.asarray(tT.shape[1], jnp.int32) if t_live is None
+            else jnp.clip(jnp.asarray(t_live, jnp.int32), 0, tT.shape[1]))
 
     kernel = partial(_cylinder_kernel, rp2=float(r_proj) ** 2, r2=float(r) ** 2)
-    cnt, dsum = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_q_blocks,),
         in_specs=[
-            pl.BlockSpec((3, BQ), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BQ), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tT.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BQ), lambda i, s: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BQ), lambda i, s: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tT.shape[1]), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((BQ,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BQ,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BQ,), lambda i, s: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BQ,), lambda i, s: (i,), memory_space=pltpu.VMEM),
         ],
+    )
+    cnt, dsum = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_q_blocks * BQ,), jnp.float32),
             jax.ShapeDtypeStruct((n_q_blocks * BQ,), jnp.float32),
         ],
         interpret=interpret,
-    )(qT, nT, tT)
+    )(live.reshape(1), qT, nT, tT)
     return (cnt.reshape(-1)[:q].astype(jnp.int32), dsum.reshape(-1)[:q])
 
 

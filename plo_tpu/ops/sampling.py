@@ -47,14 +47,44 @@ _PALLAS_CYLINDER = os.environ.get("PLO_PALLAS_CYLINDER", "1") != "0"
 # Same contract for the batched-bin FPS kernel (PLO_PALLAS_FPS=0 falls back
 # to the XLA while_loop form — the kernel's oracle).
 _PALLAS_FPS = os.environ.get("PLO_PALLAS_FPS", "1") != "0"
+# compact_indices form: "sort" (full-P argsort, DEFAULT) vs "scatter"
+# (cumsum + one drop-mode scatter). Same kept prefix in the same stable
+# order either way; only the idx values under valid=False padding differ
+# (0 vs arbitrary non-kept indices — both in-bounds, both masked by every
+# consumer). The interleaved end-to-end A/B (round 5, bench_faithful
+# protocol) measured the scatter form consistently SLOWER — 24.9/21.9 vs
+# 27.0/26.8 scans/s for sort across two interleaved rounds: a bool-key
+# argsort lowers to a cheap single-operand sort while a 57.6k scatter pays
+# the TPU serialized-scatter path — so sort stays the default and the
+# scatter form remains only as the A/B arm + parity test.
+_COMPACT_SCATTER = os.environ.get("PLO_COMPACT", "sort") == "scatter"
+# Valid-prefix tile skipping in the Pallas cylinder kernel (PLO_CYL_LIVE=0
+# restores the full-capacity loop — the A/B baseline arm). Exact either way:
+# skipped tiles hold only +inf padding that can never pass the d2 gate.
+# Interleaved A/B: 27.8/25.6 vs 27.0/26.8 — WITHIN link noise end-to-end
+# (the ~23% tile cut only touches the ~5 ms cylinder pass); kept as default
+# because it is strictly less kernel work at zero deviation
+# (tests/test_pallas_nn.py::test_pallas_cylinder_live_prefix_matches_full).
+_CYL_LIVE = os.environ.get("PLO_CYL_LIVE", "1") != "0"
 
 
 def compact_indices(keep: jnp.ndarray, size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Compact a boolean mask over [P] into a fixed-size index list [size]."""
+    """Compact a boolean mask over [P] into a fixed-size index list [size]:
+    kept indices first in ascending order (the stable compaction every
+    sampler needs), `valid[j] = j < n_kept`."""
     p = keep.shape[0]
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    valid = jnp.arange(size) < n_keep
+    if _COMPACT_SCATTER:
+        # Prefix-sum destination + one drop-mode scatter — replaces the
+        # full-P sort (TPU sorts are multi-pass; the scatter is one).
+        pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        tgt = jnp.where(keep, pos, size)  # out-of-range => dropped
+        idx = jnp.zeros((size,), jnp.int32).at[tgt].set(
+            jnp.arange(p, dtype=jnp.int32), mode="drop")
+        return idx, valid
     order = jnp.argsort(~keep, stable=True)  # kept points first, stable order
     idx = order[:size]
-    valid = jnp.arange(size) < jnp.sum(keep.astype(jnp.int32))
     return idx.astype(jnp.int32), valid
 
 
@@ -222,8 +252,17 @@ def major_axis_sampling(xyz: jnp.ndarray, normals: jnp.ndarray, candidates: jnp.
         # (tools/ab_faithful_kernels.py) — default ON for TPU (see
         # _PALLAS_CYLINDER above).
         from plo_tpu.ops import pallas_nn
+        # Valid-prefix bound: the previous filtered cloud is ring-counting-
+        # sort compacted (ops/preprocess.py), so no valid row sits past
+        # max(valid index)+1 — the kernel skips the all-padding tail tiles
+        # (~23% of capacity at HDL-64 occupancy).
+        p_t = last_valid.shape[0]
+        t_live = (jnp.max(jnp.where(
+            last_valid, jnp.arange(1, p_t + 1, dtype=jnp.int32), 0))
+            if _CYL_LIVE else None)
         cnt, dsum = pallas_nn.cylinder_stats(xyz[sub_idx], normals[sub_idx],
-                                             last_xyz, last_valid, r_proj, r)
+                                             last_xyz, last_valid, r_proj, r,
+                                             t_live=t_live)
     else:
         # chunk=16384 measured fastest on the chip at this 12.8k x 57.6k
         # shape; CPU hosts keep the conservative 4096 default (each scan-body
@@ -333,13 +372,22 @@ def fps_rank_within_bins(xyz: jnp.ndarray, bins: jnp.ndarray, member: jnp.ndarra
     slot_ok = member & (rank0 < bin_capacity)
     dest = jnp.where(slot_ok, jnp.clip(bins, 0, n_bins - 1) * bin_capacity + rank0,
                      n_bins * bin_capacity)
-    table_xyz = (jnp.zeros((n_bins * bin_capacity + 1, 3), jnp.float32)
-                 .at[dest].set(xyz).reshape(-1, 3)[:-1].reshape(n_bins, bin_capacity, 3))
-    table_occ = (jnp.zeros((n_bins * bin_capacity + 1,), jnp.float32)
-                 .at[dest].set(1.0)[:-1].reshape(n_bins, bin_capacity))
-    src_index = (jnp.full((n_bins * bin_capacity + 1,), p, jnp.int32)
-                 .at[dest].set(jnp.arange(p, dtype=jnp.int32))[:-1]
-                 .reshape(n_bins, bin_capacity))
+    # ONE packed scatter builds all three tables (xyz, occupancy, source
+    # index) — TPU scatters cost ~1 ms each at this size, and the three
+    # separate scatters this replaces were the dominant cost of the table
+    # build (same packed-payload trick as the preprocess counting sort).
+    payload = jnp.concatenate(
+        [xyz, jnp.ones((p, 1), jnp.float32),
+         jnp.arange(p, dtype=jnp.float32)[:, None]], axis=1)
+    packed = (jnp.zeros((n_bins * bin_capacity + 1, 5), jnp.float32)
+              .at[dest].set(payload)[:-1])
+    table_xyz = packed[:, :3].reshape(n_bins, bin_capacity, 3)
+    table_occ = packed[:, 3].reshape(n_bins, bin_capacity)
+    # Empty slots carry src 0 from the zeros-init; occ=0 there, and the
+    # final rank scatter sends them to the dump row p (src mapped below).
+    src_f = packed[:, 4]
+    src_index = jnp.where(table_occ.reshape(-1) > 0.5, src_f.astype(jnp.int32),
+                          p).reshape(n_bins, bin_capacity)
 
     if jax.default_backend() == "tpu" and _PALLAS_FPS:
         # All bins x all steps inside ONE Pallas kernel: the XLA while_loop

@@ -227,3 +227,29 @@ def test_major_axis_fps_quota_never_exceeds_total():
         elevation_bins=8, min_points_per_bin=20, max_points_per_bin=200,
         out_size=6400, strategy="FPS")
     assert int(np.asarray(valid).sum()) <= 2000
+
+
+def test_compact_indices_scatter_matches_sort():
+    """The scatter (cumsum + drop-mode scatter) compact form must agree with
+    the argsort form on the kept prefix and the valid mask for every regime:
+    under-full, exactly-full, and overflowing `size` (only the idx values
+    under valid=False padding may differ — both forms keep them in-bounds)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from plo_tpu.ops import sampling
+    rng = np.random.default_rng(3)
+    for p, size, density in [(1000, 300, 0.3), (1000, 1000, 0.99),
+                             (257, 64, 0.9), (64, 64, 0.0), (7, 3, 1.0)]:
+        keep = jnp.asarray(rng.random(p) < density)
+        orig = sampling._COMPACT_SCATTER
+        try:
+            sampling._COMPACT_SCATTER = True
+            i_sc, v_sc = sampling.compact_indices(keep, size)
+            sampling._COMPACT_SCATTER = False
+            i_so, v_so = sampling.compact_indices(keep, size)
+        finally:
+            sampling._COMPACT_SCATTER = orig
+        np.testing.assert_array_equal(np.asarray(v_sc), np.asarray(v_so))
+        m = min(size, int(jnp.sum(keep)))
+        np.testing.assert_array_equal(np.asarray(i_sc[:m]), np.asarray(i_so[:m]))
+        assert bool(jnp.all((i_sc >= 0) & (i_sc < p)))

@@ -111,3 +111,23 @@ def test_pallas_fps_ranks_matches_xla_loop(rng):
             bin_ranks.reshape(-1))[:p]
         r_pallas = jnp.where(jnp.asarray(member), flat, 200)
         np.testing.assert_array_equal(np.asarray(r_xla), np.asarray(r_pallas))
+
+
+def test_pallas_cylinder_live_prefix_matches_full(rng):
+    """t_live tile skipping is exact: with the target valid-prefix-compacted
+    (the ring counting-sort layout of ops/preprocess.py), bounding the loop
+    at max(valid index)+1 must reproduce the full-capacity result bit-for-bit
+    — skipped tiles hold only +inf padding that can never pass the d2 gate."""
+    q, t, _ = clouds(rng, q=300, t=4096, scale=20.0)
+    n = rng.normal(size=(300, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    live = 1800  # valid prefix, then padding: two whole tail tiles to skip
+    tv = np.arange(4096) < live
+    full_c, full_s = pallas_nn.cylinder_stats(
+        jnp.asarray(q), jnp.asarray(n), jnp.asarray(t), jnp.asarray(tv),
+        1.5, 0.5, interpret=True)
+    live_c, live_s = pallas_nn.cylinder_stats(
+        jnp.asarray(q), jnp.asarray(n), jnp.asarray(t), jnp.asarray(tv),
+        1.5, 0.5, t_live=jnp.asarray(live, jnp.int32), interpret=True)
+    np.testing.assert_array_equal(np.asarray(full_c), np.asarray(live_c))
+    np.testing.assert_array_equal(np.asarray(full_s), np.asarray(live_s))
