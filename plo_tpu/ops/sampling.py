@@ -66,6 +66,17 @@ _COMPACT_SCATTER = os.environ.get("PLO_COMPACT", "sort") == "scatter"
 # because it is strictly less kernel work at zero deviation
 # (tests/test_pallas_nn.py::test_pallas_cylinder_live_prefix_matches_full).
 _CYL_LIVE = os.environ.get("PLO_CYL_LIVE", "1") != "0"
+# _rank_within_bins sort form: "lex" (two-key lexsort) vs "packed" (single
+# i32 key = bin<<24 | 24-bit-quantized score; one-operand stable argsort).
+# Ordering is identical except that score ties occur at 2^-24 instead of
+# f32 resolution — both resolve by stable original-index order, and every
+# caller's scores are uniform random, so the sampling semantics are
+# unchanged. Interleaved end-to-end A/B: WITHIN NOISE and crossed
+# (lex 23.6/29.3 vs packed 27.4/26.2 scans/s) — the [P] sort is not a
+# meaningful slice of the faithful wall, so the two-key lexsort stays the
+# default and packed remains an A/B arm with a parity test
+# (test_rank_within_bins_packed_matches_lexsort).
+_RANK_PACKED = os.environ.get("PLO_RANK", "lex") == "packed"
 
 
 def compact_indices(keep: jnp.ndarray, size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -120,7 +131,15 @@ def _rank_within_bins(bins: jnp.ndarray, member: jnp.ndarray, scores: jnp.ndarra
     safe_bins = jnp.where(member, bins, n_bins)
     counts = jnp.bincount(safe_bins, length=n_bins + 1)[:n_bins]
     # Sort by (bin, score); position within segment = rank.
-    order = jnp.lexsort((jnp.where(member, scores, INF), safe_bins))
+    if _RANK_PACKED:
+        # Single-operand stable sort: bin in the high bits, the score
+        # quantized to 24 bits below (scores are uniform [0,1) at every call
+        # site; requires n_bins < 128 — spherical histograms are 64).
+        q = jnp.clip((scores * (1 << 24)).astype(jnp.int32), 0, (1 << 24) - 1)
+        key = (safe_bins << 24) | jnp.where(member, q, (1 << 24) - 1)
+        order = jnp.argsort(key, stable=True)
+    else:
+        order = jnp.lexsort((jnp.where(member, scores, INF), safe_bins))
     sorted_bins = safe_bins[order]
     starts = jnp.searchsorted(sorted_bins, jnp.arange(n_bins + 1))
     rank_sorted = jnp.arange(p) - starts[jnp.clip(sorted_bins, 0, n_bins)]

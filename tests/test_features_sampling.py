@@ -253,3 +253,28 @@ def test_compact_indices_scatter_matches_sort():
         m = min(size, int(jnp.sum(keep)))
         np.testing.assert_array_equal(np.asarray(i_sc[:m]), np.asarray(i_so[:m]))
         assert bool(jnp.all((i_sc >= 0) & (i_sc < p)))
+
+
+def test_rank_within_bins_packed_matches_lexsort():
+    """PLO_RANK=packed parity: the single packed-i32-key stable argsort must
+    reproduce the two-key lexsort ranks except at 2^-24 score-quantization
+    ties (none expected at these sizes; uniform scores collide with
+    probability ~n^2/2^25 per bin)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from plo_tpu.ops import sampling
+    rng = np.random.default_rng(11)
+    p, nb = 8192, 64
+    bins = jnp.asarray(rng.integers(0, nb, p).astype(np.int32))
+    member = jnp.asarray(rng.random(p) < 0.6)
+    scores = jnp.asarray(rng.random(p).astype(np.float32))
+    orig = sampling._RANK_PACKED
+    try:
+        sampling._RANK_PACKED = False
+        r_lex, c_lex = sampling._rank_within_bins(bins, member, scores, nb)
+        sampling._RANK_PACKED = True
+        r_pk, c_pk = sampling._rank_within_bins(bins, member, scores, nb)
+    finally:
+        sampling._RANK_PACKED = orig
+    np.testing.assert_array_equal(np.asarray(c_lex), np.asarray(c_pk))
+    assert int(jnp.sum(r_lex != r_pk)) <= 4
